@@ -1,0 +1,396 @@
+"""The map as fixed-capacity structure-of-arrays state (single-writer).
+
+Replaces the reference's L1 pointer graph — Map / KeyFrame / MapPoint /
+observation maps / covisibility graph, all raw pointers + per-object mutexes
+(†src/{Map,KeyFrame,MapPoint}.cc, SURVEY §2.1 rows 8-10, §2.3) — with numpy
+arrays of static capacity plus `alive` masks. There is exactly one writer
+(the mapping side); tracking consumes immutable device snapshots, which is
+what removes the reference's entire mutex inventory (SURVEY §5.2).
+
+Host numpy is deliberate for the graph bookkeeping (irregular, tiny);
+compute-heavy consumers (matching, BA) gather compact windows and ship them
+to device. The whole map is a pytree of arrays => orbax-checkpointable for
+free (a capability the reference lacks, SURVEY §5.4).
+
+Layout:
+  keyframes:  pose, per-feature arrays (xy, desc, octave, angle, uR, depth),
+              feature->map-point index table (the observations, KF side)
+  map points: position, distinctive descriptor, normal, scale band,
+              observation list (point side: (kf, feat) pairs), statistics
+  graph:      covisibility top-k neighbors + weights, spanning tree parent,
+              loop edges
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..config import SlamConfig
+
+
+@dataclass
+class MapState:
+    cfg: SlamConfig
+
+    # --- keyframes -----------------------------------------------------
+    kf_pose: np.ndarray          # (K, 4, 4) f32, Tcw
+    kf_valid: np.ndarray         # (K,) bool
+    kf_frame_id: np.ndarray      # (K,) i64 source frame id
+    kf_timestamp: np.ndarray     # (K,) f64
+    kf_xy: np.ndarray            # (K, N, 2) f32 undistorted level-0 coords
+    kf_desc: np.ndarray          # (K, N, 32) u8
+    kf_octave: np.ndarray        # (K, N) i32
+    kf_angle: np.ndarray         # (K, N) f32
+    kf_ur: np.ndarray            # (K, N) f32 right-u (-1 mono)
+    kf_depth: np.ndarray         # (K, N) f32 stereo/RGBD depth (-1 unknown)
+    kf_feat_valid: np.ndarray    # (K, N) bool
+    kf_mp: np.ndarray            # (K, N) i32 map-point id per feature (-1)
+
+    # --- map points ----------------------------------------------------
+    mp_pos: np.ndarray           # (M, 3) f32 world position
+    mp_valid: np.ndarray         # (M,) bool
+    mp_desc: np.ndarray          # (M, 32) u8 distinctive descriptor
+    mp_normal: np.ndarray        # (M, 3) f32 mean viewing direction
+    mp_dmin: np.ndarray          # (M,) f32 scale-invariance band
+    mp_dmax: np.ndarray          # (M,) f32
+    mp_ref_kf: np.ndarray        # (M,) i32 reference keyframe
+    mp_first_kf: np.ndarray      # (M,) i32 creation keyframe (culling window)
+    mp_obs_kf: np.ndarray        # (M, Omax) i32 observing keyframe (-1)
+    mp_obs_feat: np.ndarray      # (M, Omax) i32 feature index in that KF
+    mp_n_obs: np.ndarray         # (M,) i32
+    mp_visible: np.ndarray       # (M,) i32 tracking visibility count
+    mp_found: np.ndarray         # (M,) i32 tracking found count
+
+    # --- graph ---------------------------------------------------------
+    covis_idx: np.ndarray        # (K, C) i32 neighbor kf ids (-1)
+    covis_w: np.ndarray          # (K, C) i32 shared-point weights
+    span_parent: np.ndarray      # (K,) i32 spanning-tree parent (-1 root)
+    loop_edges: List[Tuple[int, int]] = field(default_factory=list)
+
+    n_kf: int = 0                # monotone high-water marks
+    n_mp: int = 0
+    next_kf_id: int = 0
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def allocate(cfg: SlamConfig) -> "MapState":
+        K = cfg.capacity.max_keyframes
+        M = cfg.capacity.max_map_points
+        N = cfg.extractor.max_keypoints
+        O = cfg.capacity.max_obs_per_point
+        C = cfg.capacity.covisibility_top_k
+        return MapState(
+            cfg=cfg,
+            kf_pose=np.tile(np.eye(4, dtype=np.float32), (K, 1, 1)),
+            kf_valid=np.zeros(K, bool),
+            kf_frame_id=np.zeros(K, np.int64),
+            kf_timestamp=np.zeros(K, np.float64),
+            kf_xy=np.zeros((K, N, 2), np.float32),
+            kf_desc=np.zeros((K, N, 32), np.uint8),
+            kf_octave=np.zeros((K, N), np.int32),
+            kf_angle=np.zeros((K, N), np.float32),
+            kf_ur=np.full((K, N), -1.0, np.float32),
+            kf_depth=np.full((K, N), -1.0, np.float32),
+            kf_feat_valid=np.zeros((K, N), bool),
+            kf_mp=np.full((K, N), -1, np.int32),
+            mp_pos=np.zeros((M, 3), np.float32),
+            mp_valid=np.zeros(M, bool),
+            mp_desc=np.zeros((M, 32), np.uint8),
+            mp_normal=np.zeros((M, 3), np.float32),
+            mp_dmin=np.zeros(M, np.float32),
+            mp_dmax=np.full(M, np.inf, np.float32),
+            mp_ref_kf=np.full(M, -1, np.int32),
+            mp_first_kf=np.full(M, -1, np.int32),
+            mp_obs_kf=np.full((M, O), -1, np.int32),
+            mp_obs_feat=np.full((M, O), -1, np.int32),
+            mp_n_obs=np.zeros(M, np.int32),
+            mp_visible=np.zeros(M, np.int32),
+            mp_found=np.zeros(M, np.int32),
+            covis_idx=np.full((K, C), -1, np.int32),
+            covis_w=np.zeros((K, C), np.int32),
+            span_parent=np.full(K, -1, np.int32),
+        )
+
+    # ------------------------------------------------------------------
+    # Keyframes
+    # ------------------------------------------------------------------
+    def add_keyframe(
+        self,
+        pose: np.ndarray,
+        xy: np.ndarray,
+        desc: np.ndarray,
+        octave: np.ndarray,
+        angle: np.ndarray,
+        feat_valid: np.ndarray,
+        frame_id: int,
+        timestamp: float,
+        ur: Optional[np.ndarray] = None,
+        depth: Optional[np.ndarray] = None,
+    ) -> int:
+        """Insert a keyframe; returns its id. Capacity overflow raises."""
+        k = self.n_kf
+        if k >= self.kf_valid.shape[0]:
+            raise RuntimeError("keyframe capacity exhausted — raise max_keyframes")
+        self.kf_pose[k] = pose
+        self.kf_valid[k] = True
+        self.kf_frame_id[k] = frame_id
+        self.kf_timestamp[k] = timestamp
+        self.kf_xy[k] = xy
+        self.kf_desc[k] = desc
+        self.kf_octave[k] = octave
+        self.kf_angle[k] = angle
+        self.kf_feat_valid[k] = feat_valid
+        self.kf_mp[k] = -1
+        if ur is not None:
+            self.kf_ur[k] = ur
+        if depth is not None:
+            self.kf_depth[k] = depth
+        self.n_kf = k + 1
+        self.next_kf_id = self.n_kf
+        return k
+
+    # ------------------------------------------------------------------
+    # Map points
+    # ------------------------------------------------------------------
+    def add_map_point(self, pos: np.ndarray, ref_kf: int) -> int:
+        m = self.n_mp
+        if m >= self.mp_valid.shape[0]:
+            raise RuntimeError("map-point capacity exhausted — raise max_map_points")
+        self.mp_pos[m] = pos
+        self.mp_valid[m] = True
+        self.mp_ref_kf[m] = ref_kf
+        self.mp_first_kf[m] = ref_kf
+        self.mp_n_obs[m] = 0
+        self.mp_visible[m] = 1
+        self.mp_found[m] = 1
+        self.n_mp = m + 1
+        return m
+
+    def add_observation(self, mp: int, kf: int, feat: int):
+        """Bind map point <-> keyframe feature (both directions)."""
+        if self.kf_mp[kf, feat] == mp:
+            return
+        slots = self.mp_obs_kf[mp]
+        free = np.where(slots < 0)[0]
+        if len(free) == 0:
+            return  # observation table full: drop (rare; capacity-config)
+        s = free[0]
+        self.mp_obs_kf[mp, s] = kf
+        self.mp_obs_feat[mp, s] = feat
+        self.mp_n_obs[mp] += 1
+        self.kf_mp[kf, feat] = mp
+
+    def erase_observation(self, mp: int, kf: int):
+        sl = np.where(self.mp_obs_kf[mp] == kf)[0]
+        for s in sl:
+            feat = self.mp_obs_feat[mp, s]
+            if feat >= 0 and self.kf_mp[kf, feat] == mp:
+                self.kf_mp[kf, feat] = -1
+            self.mp_obs_kf[mp, s] = -1
+            self.mp_obs_feat[mp, s] = -1
+            self.mp_n_obs[mp] -= 1
+        # reference kills points that fall to <= 2 observations when erased
+        if self.mp_n_obs[mp] <= 2 and self.mp_valid[mp]:
+            pass  # caller (culling) decides; we only maintain counts here
+
+    def remove_map_point(self, mp: int):
+        """SetBadFlag: unlink from all keyframes and invalidate."""
+        for s in range(self.mp_obs_kf.shape[1]):
+            kf = self.mp_obs_kf[mp, s]
+            if kf >= 0:
+                feat = self.mp_obs_feat[mp, s]
+                if feat >= 0 and self.kf_mp[kf, feat] == mp:
+                    self.kf_mp[kf, feat] = -1
+            self.mp_obs_kf[mp, s] = -1
+            self.mp_obs_feat[mp, s] = -1
+        self.mp_n_obs[mp] = 0
+        self.mp_valid[mp] = False
+
+    def replace_map_point(self, old: int, new: int):
+        """MapPoint::Replace — rebind all observations of `old` to `new`."""
+        if old == new:
+            return
+        for s in range(self.mp_obs_kf.shape[1]):
+            kf = self.mp_obs_kf[old, s]
+            feat = self.mp_obs_feat[old, s]
+            if kf < 0:
+                continue
+            if self.kf_mp[kf, feat] == old:
+                self.kf_mp[kf, feat] = -1
+            if not (self.mp_obs_kf[new] == kf).any():
+                self.add_observation(new, kf, feat)
+            else:
+                if self.kf_mp[kf, feat] == -1:
+                    pass  # new already observed in this KF at another feature
+        self.mp_found[new] += self.mp_found[old]
+        self.mp_visible[new] += self.mp_visible[old]
+        self.mp_obs_kf[old] = -1
+        self.mp_obs_feat[old] = -1
+        self.mp_n_obs[old] = 0
+        self.mp_valid[old] = False
+
+    # ------------------------------------------------------------------
+    # Derived per-point attributes (†MapPoint::{ComputeDistinctiveDescriptors,
+    # UpdateNormalAndDepth})
+    # ------------------------------------------------------------------
+    def update_point_attributes(self, mps: np.ndarray):
+        """Recompute distinctive descriptor, normal, and depth band for the
+        given point ids (fully vectorized over points x observations)."""
+        mps = np.atleast_1d(np.asarray(mps))
+        mps = mps[self.mp_valid[mps]]
+        if len(mps) == 0:
+            return
+        sf = self.cfg.extractor.scale_factor
+        n_levels = self.cfg.extractor.n_levels
+        P = len(mps)
+        O = self.mp_obs_kf.shape[1]
+        obs_kf = self.mp_obs_kf[mps]                  # (P, O)
+        obs_ft = self.mp_obs_feat[mps]
+        sel = obs_kf >= 0
+        if not sel.any():
+            return
+        kfs = np.maximum(obs_kf, 0)
+        fts = np.maximum(obs_ft, 0)
+
+        # --- distinctive descriptor: min median pairwise Hamming
+        descs = self.kf_desc[kfs, fts]                # (P, O, 32)
+        bits = np.unpackbits(descs.reshape(P * O, 32), axis=1).reshape(
+            P, O, 256
+        ).astype(np.float32)
+        # Hamming via matmul: d = |a| + |b| - 2 a.b (avoids the (P,O,O,256)
+        # broadcast blowup)
+        G = np.matmul(bits, bits.transpose(0, 2, 1))  # (P, O, O)
+        s = bits.sum(-1)
+        dm = (s[:, :, None] + s[:, None, :] - 2.0 * G).astype(np.int32)
+        big = 10000
+        dm = np.where(sel[:, :, None] & sel[:, None, :], dm, big)
+        dm_sorted = np.sort(dm, axis=2)
+        n_obs = sel.sum(1)                            # (P,)
+        med_idx = np.maximum((n_obs - 1) // 2, 0)
+        med = np.take_along_axis(
+            dm_sorted, med_idx[:, None, None].repeat(O, 1), axis=2
+        )[:, :, 0]                                    # (P, O)
+        med = np.where(sel, med, big)
+        best = np.argmin(med, axis=1)
+        self.mp_desc[mps] = descs[np.arange(P), best]
+
+        # --- mean viewing normal
+        R = self.kf_pose[kfs][..., :3, :3]            # (P, O, 3, 3)
+        t = self.kf_pose[kfs][..., :3, 3]
+        centers = -np.einsum("pokj,pok->poj", R, t)   # R^T t with R transposed
+        vec = self.mp_pos[mps][:, None, :] - centers  # (P, O, 3)
+        vn = vec / np.maximum(np.linalg.norm(vec, axis=2, keepdims=True), 1e-9)
+        n = np.where(sel[:, :, None], vn, 0.0).sum(1) / np.maximum(
+            n_obs[:, None], 1
+        )
+        self.mp_normal[mps] = n / np.maximum(
+            np.linalg.norm(n, axis=1, keepdims=True), 1e-9
+        )
+
+        # --- scale band from the reference-KF observation
+        rk = self.mp_ref_kf[mps]                      # (P,)
+        is_ref = sel & (obs_kf == rk[:, None])
+        has_ref = is_ref.any(1)
+        j = np.where(has_ref, np.argmax(is_ref, axis=1), np.argmax(sel, axis=1))
+        self.mp_ref_kf[mps] = obs_kf[np.arange(P), j]
+        dist = np.linalg.norm(vec[np.arange(P), j], axis=1)
+        level = self.kf_octave[kfs[np.arange(P), j], fts[np.arange(P), j]]
+        dmax = dist * (sf ** level.astype(np.float32)) * 1.2
+        self.mp_dmax[mps] = dmax
+        self.mp_dmin[mps] = dmax / (sf ** (n_levels - 1)) / 1.2
+
+    # ------------------------------------------------------------------
+    # Covisibility (†KeyFrame::UpdateConnections)
+    # ------------------------------------------------------------------
+    def update_connections(self, kf: int):
+        """Recompute covisibility of `kf` vs all others from shared points;
+        weight >= threshold keeps the edge (else keep single best); assigns
+        spanning-tree parent = highest-weight neighbor on first connect."""
+        th = self.cfg.mapping.covisibility_threshold
+        C = self.covis_idx.shape[1]
+        mps = self.kf_mp[kf]
+        mps = mps[mps >= 0]
+        if len(mps) == 0:
+            return
+        obs_kfs = self.mp_obs_kf[mps]  # (n, O)
+        flat = obs_kfs[obs_kfs >= 0]
+        flat = flat[flat != kf]
+        if len(flat) == 0:
+            return
+        counts = np.bincount(flat, minlength=self.n_kf)
+        order = np.argsort(-counts)
+        weights = counts[order]
+        keep = weights >= th
+        if not keep.any():
+            keep[0] = weights[0] > 0  # single best fallback
+        sel = order[keep][:C]
+        w = counts[sel]
+        self.covis_idx[kf] = -1
+        self.covis_w[kf] = 0
+        self.covis_idx[kf, : len(sel)] = sel
+        self.covis_w[kf, : len(sel)] = w
+        # mirror into neighbors' lists
+        for j, wj in zip(sel, w):
+            self._covis_insert(int(j), kf, int(wj))
+        if self.span_parent[kf] < 0 and kf != 0 and len(sel) > 0:
+            self.span_parent[kf] = int(sel[0])
+
+    def _covis_insert(self, kf: int, nb: int, w: int):
+        idx = self.covis_idx[kf]
+        ws = self.covis_w[kf]
+        pos = np.where(idx == nb)[0]
+        if len(pos):
+            ws[pos[0]] = w
+        else:
+            free = np.where(idx < 0)[0]
+            if len(free):
+                idx[free[0]] = nb
+                ws[free[0]] = w
+            else:
+                worst = int(np.argmin(ws))
+                if ws[worst] < w:
+                    idx[worst] = nb
+                    ws[worst] = w
+        # keep sorted by weight descending
+        order = np.argsort(-ws)
+        self.covis_idx[kf] = idx[order]
+        self.covis_w[kf] = ws[order]
+
+    def covisible_keyframes(self, kf: int, n: int = 0) -> np.ndarray:
+        """Best-covisibility neighbors (†GetBestCovisibilityKeyFrames)."""
+        idx = self.covis_idx[kf]
+        sel = idx[idx >= 0]
+        return sel[:n] if n else sel
+
+    def remove_keyframe(self, kf: int):
+        """KeyFrame::SetBadFlag — detach observations and graph edges.
+
+        Children are re-parented to the removed node's parent (simplified
+        from the reference's best-covisible-parent search)."""
+        for feat in np.where(self.kf_mp[kf] >= 0)[0]:
+            mp = self.kf_mp[kf, feat]
+            self.erase_observation(int(mp), kf)
+        self.kf_valid[kf] = False
+        self.kf_feat_valid[kf] = False
+        # drop from neighbors' covis lists
+        for other in np.where(self.kf_valid[: self.n_kf])[0]:
+            pos = np.where(self.covis_idx[other] == kf)[0]
+            for p in pos:
+                self.covis_idx[other, p] = -1
+                self.covis_w[other, p] = 0
+        parent = self.span_parent[kf]
+        self.span_parent[self.span_parent == kf] = parent
+
+    # ------------------------------------------------------------------
+    def valid_map_points(self) -> np.ndarray:
+        return np.where(self.mp_valid[: self.n_mp])[0]
+
+    def valid_keyframes(self) -> np.ndarray:
+        return np.where(self.kf_valid[: self.n_kf])[0]
+
+    def keyframe_center(self, kf: int) -> np.ndarray:
+        T = self.kf_pose[kf]
+        return -T[:3, :3].T @ T[:3, 3]

@@ -30,6 +30,7 @@ Landmarks: points (M, 3) with point_valid (M,).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Tuple
 
 import jax
@@ -201,6 +202,9 @@ def _apply(poses, points, dc, dl):
     return jax.vmap(lambda T, xi: geo.se3_exp(xi) @ T)(poses, dc), points + dl
 
 
+@functools.partial(
+    jax.jit, static_argnames=("iters", "outlier_rounds", "fix_points")
+)
 def optimize_ba(
     cam: Camera,
     prob: BAProblem,

@@ -14,6 +14,7 @@ one batch, the 6x6 normal equations are an einsum, and the LM loop is a
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Tuple
 
 import jax
@@ -78,6 +79,7 @@ def _residuals_jacobians(
     return r, J, z
 
 
+@functools.partial(jax.jit, static_argnames=("rounds", "iters"))
 def optimize_pose(
     Tcw_init: jnp.ndarray,
     cam: Camera,

@@ -1,0 +1,129 @@
+"""SlamSystem facade — the public API (†src/System.cc, SURVEY §7.4).
+
+Mirrors the reference's System class: track_monocular / track_stereo /
+track_rgbd, localization-only mode, reset, shutdown, trajectory saving in TUM
+and KITTI formats. Construction wires the map, tracker, and local mapper;
+the reference's three threads become pipeline stages invoked in order (the
+async scheduling lives above this layer).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .config import SlamConfig
+from .local_mapping import LocalMapper
+from .map.state import MapState
+from .ops import geometry as geo
+from .tracking import Tracker, TrackingState
+
+
+class SlamSystem:
+    def __init__(self, cfg: SlamConfig):
+        self.cfg = cfg
+        self.map = MapState.allocate(cfg)
+        self.tracker = Tracker(cfg, self.map)
+        self.local_mapper = LocalMapper(cfg, self.map, self.tracker.cam)
+        self.localization_only = False
+        self._finished = False
+
+    # ------------------------------------------------------------------
+    # Tracking entry points
+    # ------------------------------------------------------------------
+    def track_monocular(self, img: np.ndarray, timestamp: float) -> Optional[np.ndarray]:
+        assert self.cfg.sensor == "monocular"
+        return self._track(img, timestamp, None)
+
+    def track_rgbd(self, img: np.ndarray, depth: np.ndarray,
+                   timestamp: float) -> Optional[np.ndarray]:
+        assert self.cfg.sensor == "rgbd"
+        return self._track(img, timestamp, depth)
+
+    def track_stereo(self, left: np.ndarray, right: np.ndarray,
+                     timestamp: float) -> Optional[np.ndarray]:
+        assert self.cfg.sensor == "stereo"
+        from .ops.stereo import stereo_depth_for_tracker
+
+        depth = stereo_depth_for_tracker(left, right, self.tracker.cam,
+                                         self.cfg.extractor)
+        return self._track(left, timestamp, depth)
+
+    def _track(self, img, timestamp, depth):
+        pose = self.tracker.track(img, timestamp, depth_map=depth)
+        kf = getattr(self.tracker, "pending_keyframe", None)
+        if kf is not None and not self.localization_only:
+            self.local_mapper.process_keyframe(kf)
+            self.tracker.pending_keyframe = None
+        return pose
+
+    # ------------------------------------------------------------------
+    # Modes / lifecycle (†System::ActivateLocalizationMode / Reset / Shutdown)
+    # ------------------------------------------------------------------
+    def activate_localization_mode(self):
+        self.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.localization_only = False
+
+    @property
+    def tracking_state(self) -> TrackingState:
+        return self.tracker.state
+
+    def reset(self):
+        self.map = MapState.allocate(self.cfg)
+        self.tracker = Tracker(self.cfg, self.map)
+        self.local_mapper = LocalMapper(self.cfg, self.map, self.tracker.cam)
+
+    def shutdown(self):
+        self._finished = True
+
+    # ------------------------------------------------------------------
+    # Trajectory export (†System::SaveTrajectoryTUM / SaveTrajectoryKITTI /
+    # SaveKeyFrameTrajectoryTUM)
+    # ------------------------------------------------------------------
+    def trajectory(self) -> List[Tuple[int, float, np.ndarray]]:
+        return self.tracker.trajectory
+
+    def keyframe_trajectory(self) -> List[Tuple[float, np.ndarray]]:
+        m = self.map
+        out = []
+        for k in m.valid_keyframes():
+            out.append((float(m.kf_timestamp[k]), m.kf_pose[k].copy()))
+        return out
+
+    def save_trajectory_tum(self, path: str):
+        """timestamp tx ty tz qx qy qz qw (camera-to-world), TUM format."""
+        import jax.numpy as jnp
+
+        with open(path, "w") as f:
+            for _, ts, Tcw in self.tracker.trajectory:
+                Twc = np.linalg.inv(Tcw)
+                q = np.asarray(geo.rotmat_to_quat(jnp.asarray(Twc[:3, :3])))
+                t = Twc[:3, 3]
+                f.write(
+                    f"{ts:.6f} {t[0]:.7f} {t[1]:.7f} {t[2]:.7f} "
+                    f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}\n"
+                )
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        import jax.numpy as jnp
+
+        with open(path, "w") as f:
+            for ts, Tcw in self.keyframe_trajectory():
+                Twc = np.linalg.inv(Tcw)
+                q = np.asarray(geo.rotmat_to_quat(jnp.asarray(Twc[:3, :3])))
+                t = Twc[:3, 3]
+                f.write(
+                    f"{ts:.6f} {t[0]:.7f} {t[1]:.7f} {t[2]:.7f} "
+                    f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}\n"
+                )
+
+    def save_trajectory_kitti(self, path: str):
+        """Row-major 3x4 Twc per line (KITTI format)."""
+        with open(path, "w") as f:
+            for _, _, Tcw in self.tracker.trajectory:
+                Twc = np.linalg.inv(Tcw)
+                row = Twc[:3, :4].reshape(-1)
+                f.write(" ".join(f"{v:.9e}" for v in row) + "\n")

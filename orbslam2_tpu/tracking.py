@@ -1,0 +1,543 @@
+"""Tracking: per-frame pose estimation state machine (the reference's T1).
+
+Re-design of †src/Tracking.cc (SURVEY §2.1 row 2, §3.2): the same FSM
+(NO_IMAGES_YET / NOT_INITIALIZED / OK / LOST), motion-model + local-map
+tracking, keyframe decision — but every hot step is a jitted, statically
+shaped device program:
+
+  extract (ops.orb) -> project/gate/match (ops.matching) -> motion-only LM
+  (ops.pose_opt), with the local map gathered into fixed-capacity buffers.
+
+Host code only sequences these kernels and runs the (cheap, irregular)
+bookkeeping; there are no locks because tracking reads immutable map
+snapshots (SURVEY §7.1 design stance).
+"""
+
+from __future__ import annotations
+
+import enum
+import functools
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import SlamConfig
+from .models.camera import Camera, in_image, project, undistort_points
+from .map.state import MapState
+from .ops import geometry as geo
+from .ops import matching, orb, pose_opt
+from .ops.initializer import N_ITERS, initialize_two_view
+
+
+class TrackingState(enum.Enum):
+    NO_IMAGES_YET = 0
+    NOT_INITIALIZED = 1
+    OK = 2
+    LOST = 3
+
+
+@dataclass
+class FrameData:
+    """Host-side view of one processed frame."""
+
+    frame_id: int
+    timestamp: float
+    xy: np.ndarray        # (N, 2) undistorted level-0 coords
+    desc: np.ndarray      # (N, 32) u8
+    octave: np.ndarray    # (N,) i32
+    angle: np.ndarray     # (N,) f32
+    valid: np.ndarray     # (N,) bool
+    ur: np.ndarray        # (N,) f32 right-u (-1 mono)
+    depth: np.ndarray     # (N,) f32 (-1 unknown)
+    Tcw: Optional[np.ndarray] = None
+    mp: Optional[np.ndarray] = None  # (N,) i32 matched map point per feature
+
+
+# ---------------------------------------------------------------------------
+# Jitted tracking kernel: project local points -> gated match -> pose LM
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("n_levels", "do_pose_opt", "max_dist", "nn_ratio")
+)
+def track_against_points(
+    cam: Camera,
+    Tcw_pred: jnp.ndarray,
+    mp_pos: jnp.ndarray,      # (P, 3)
+    mp_desc: jnp.ndarray,     # (P, 32)
+    mp_valid: jnp.ndarray,    # (P,)
+    mp_normal: jnp.ndarray,   # (P, 3)
+    mp_dmin: jnp.ndarray,     # (P,)
+    mp_dmax: jnp.ndarray,     # (P,)
+    kp_xy: jnp.ndarray,       # (N, 2)
+    kp_desc: jnp.ndarray,
+    kp_octave: jnp.ndarray,
+    kp_valid: jnp.ndarray,
+    kp_ur: jnp.ndarray,       # (N,)
+    radius_mult: jnp.ndarray,  # () search radius multiplier (th)
+    scale_factor: jnp.ndarray,
+    n_levels: int,
+    max_dist: int = matching.TH_HIGH,
+    nn_ratio: float = 0.9,
+    do_pose_opt: bool = True,
+):
+    """SearchByProjection(+frustum gates) + PoseOptimization in one program.
+
+    Returns (PoseOptResult, mp->kp match idx (P,), match valid (P,)).
+    """
+    R = Tcw_pred[:3, :3]
+    t = Tcw_pred[:3, 3]
+    pc = mp_pos @ R.T + t
+    z = pc[:, 2]
+    proj = project(cam, pc)
+
+    cam_center = -R.T @ t
+    vec = mp_pos - cam_center
+    dist = jnp.linalg.norm(vec, axis=1)
+
+    # isInFrustum (†Frame::isInFrustum): depth in scale band, in image,
+    # viewing angle < 60 deg.
+    cos_view = jnp.sum(vec * mp_normal, axis=1) / jnp.maximum(dist, 1e-9)
+    in_frustum = (
+        (z > 0.1)
+        & in_image(cam, proj)
+        & (dist >= 0.8 * mp_dmin)
+        & (dist <= 1.2 * mp_dmax)
+        & (cos_view > 0.5)
+    )
+
+    # PredictScale (†MapPoint::PredictScale)
+    ratio = jnp.maximum(mp_dmax / jnp.maximum(dist, 1e-9), 1e-6)
+    pred_level = jnp.clip(
+        jnp.ceil(jnp.log(ratio) / jnp.log(scale_factor)).astype(jnp.int32),
+        0,
+        n_levels - 1,
+    )
+    r_px = radius_mult * (scale_factor ** pred_level.astype(jnp.float32))
+
+    pair = matching.radius_gate(proj, kp_xy, r_px) & matching.octave_gate(
+        pred_level, kp_octave, lo=-1, hi=1
+    )
+    res = matching.match_descriptors(
+        mp_desc, kp_desc, mp_valid & in_frustum, kp_valid,
+        pair_mask=pair, max_dist=max_dist, nn_ratio=nn_ratio,
+    )
+
+    # Resolve several map points claiming one keypoint: keep the best.
+    P = mp_pos.shape[0]
+    N = kp_xy.shape[0]
+    kp_best = jnp.full((N,), matching.INVALID, jnp.int32)
+    kp_best = kp_best.at[jnp.where(res.valid, res.idx, N - 1)].min(
+        jnp.where(res.valid, res.dist, matching.INVALID)
+    )
+    keep = res.valid & (res.dist <= kp_best[jnp.maximum(res.idx, 0)])
+    # break remaining ties (two points with equal dist) by point index
+    first_claim = jnp.full((N,), P, jnp.int32)
+    pidx = jnp.arange(P, dtype=jnp.int32)
+    first_claim = first_claim.at[jnp.where(keep, res.idx, N - 1)].min(
+        jnp.where(keep, pidx, P)
+    )
+    keep = keep & (first_claim[jnp.maximum(res.idx, 0)] == pidx)
+
+    idx = jnp.where(keep, res.idx, 0)
+    obs = jnp.concatenate(
+        [kp_xy[idx], jnp.where(keep, kp_ur[idx], -1.0)[:, None]], axis=1
+    )
+    sigma2 = scale_factor ** (2.0 * kp_octave[idx].astype(jnp.float32))
+
+    if do_pose_opt:
+        opt = pose_opt.optimize_pose(
+            Tcw_pred, cam, mp_pos, obs, sigma2, keep
+        )
+    else:
+        opt = pose_opt.PoseOptResult(
+            Tcw=Tcw_pred, inliers=keep,
+            n_inliers=jnp.sum(keep.astype(jnp.int32)),
+            chi2=jnp.zeros_like(sigma2),
+        )
+    return opt, jnp.where(keep, res.idx, -1), keep
+
+
+@functools.partial(jax.jit, static_argnames=())
+def match_frames_windowed(
+    desc_a, xy_a, angle_a, valid_a, desc_b, xy_b, angle_b, valid_b, window, nn_ratio
+):
+    """SearchForInitialization: windowed + ratio + rotation-checked match."""
+    pair = matching.radius_gate(
+        xy_a, xy_b, jnp.full((xy_a.shape[0],), window, xy_a.dtype)
+    )
+    return matching.match_descriptors(
+        desc_a, desc_b, valid_a, valid_b, pair_mask=pair,
+        max_dist=matching.TH_LOW, nn_ratio=nn_ratio,
+        angles_a=angle_a, angles_b=angle_b, check_rotation=True, mutual=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tracker
+# ---------------------------------------------------------------------------
+
+class Tracker:
+    def __init__(self, cfg: SlamConfig, slam_map: MapState):
+        self.cfg = cfg
+        self.map = slam_map
+        cc = cfg.camera
+        self.cam = Camera.create(
+            cc.fx, cc.fy, cc.cx, cc.cy, cc.k1, cc.k2, cc.p1, cc.p2, cc.k3,
+            bf=cc.bf, width=cc.width, height=cc.height,
+        )
+        self.extractor = orb.OrbExtractor(cfg.extractor, cc.height, cc.width)
+        # Monocular initialization uses 2x features (†Tracking ctor)
+        self.state = TrackingState.NO_IMAGES_YET
+        self.velocity: Optional[np.ndarray] = None
+        self.last_frame: Optional[FrameData] = None
+        self.init_ref: Optional[FrameData] = None
+        self.ref_kf: int = -1
+        self.last_kf_frame_id: int = -1000
+        self.frame_id: int = 0
+        self.n_inliers_last: int = 0
+        self.local_point_cap = 4096
+        self._rng = np.random.default_rng(cfg.runtime.seed)
+        # trajectory log: (frame_id, timestamp, Tcw) for every tracked frame
+        self.trajectory: List[Tuple[int, float, np.ndarray]] = []
+        self.metrics: List[dict] = []
+
+    # ------------------------------------------------------------------
+    def _make_frame(self, img: np.ndarray, timestamp: float,
+                    depth_map: Optional[np.ndarray] = None) -> FrameData:
+        feats = self.extractor(img)
+        xy = np.asarray(feats.xy)
+        if self.cam.has_distortion:
+            xy = np.asarray(undistort_points(self.cam, feats.xy))
+        valid = np.asarray(feats.valid)
+        n = xy.shape[0]
+        ur = np.full(n, -1.0, np.float32)
+        dep = np.full(n, -1.0, np.float32)
+        if depth_map is not None:
+            # RGB-D: read depth at raw keypoint locations, derive virtual
+            # right coordinate (†Frame::ComputeStereoFromRGBD)
+            raw = np.asarray(feats.xy)
+            xi = np.clip(np.round(raw[:, 0]).astype(int), 0, depth_map.shape[1] - 1)
+            yi = np.clip(np.round(raw[:, 1]).astype(int), 0, depth_map.shape[0] - 1)
+            d = depth_map[yi, xi].astype(np.float32)
+            ok = valid & (d > 0)
+            dep = np.where(ok, d, -1.0).astype(np.float32)
+            bf = float(np.asarray(self.cam.bf))
+            ur = np.where(ok, xy[:, 0] - bf / np.maximum(d, 1e-6), -1.0).astype(
+                np.float32
+            )
+        fd = FrameData(
+            frame_id=self.frame_id,
+            timestamp=timestamp,
+            xy=xy,
+            desc=np.asarray(feats.desc),
+            octave=np.asarray(feats.octave),
+            angle=np.asarray(feats.angle),
+            valid=valid,
+            ur=ur,
+            depth=dep,
+            mp=np.full(n, -1, np.int32),
+        )
+        return fd
+
+    # ------------------------------------------------------------------
+    def track(self, img: np.ndarray, timestamp: float,
+              depth_map: Optional[np.ndarray] = None) -> Optional[np.ndarray]:
+        """Process one frame; returns Tcw when tracked (else None)."""
+        frame = self._make_frame(img, timestamp, depth_map)
+        new_kf = None
+
+        if self.state == TrackingState.NO_IMAGES_YET:
+            self.state = TrackingState.NOT_INITIALIZED
+
+        if self.state == TrackingState.NOT_INITIALIZED:
+            if depth_map is not None or float(np.asarray(self.cam.bf)) > 0:
+                ok = self._initialize_rgbd(frame)
+            else:
+                ok = self._initialize_monocular(frame)
+            if ok:
+                self.state = TrackingState.OK
+        else:
+            ok = self._track_frame(frame)
+            if ok:
+                self.state = TrackingState.OK
+                if self._need_new_keyframe(frame):
+                    new_kf = self._create_keyframe(frame)
+            else:
+                self.state = TrackingState.LOST
+
+        if frame.Tcw is not None:
+            self.trajectory.append((frame.frame_id, timestamp, frame.Tcw.copy()))
+        if self.last_frame is not None and frame.Tcw is not None and \
+                self.last_frame.Tcw is not None:
+            self.velocity = frame.Tcw @ np.linalg.inv(self.last_frame.Tcw)
+        self.last_frame = frame
+        self.frame_id += 1
+        self.pending_keyframe = new_kf
+        return frame.Tcw
+
+    # ------------------------------------------------------------------
+    # Initialization
+    # ------------------------------------------------------------------
+    def _initialize_monocular(self, frame: FrameData) -> bool:
+        if self.init_ref is None or self.init_ref.valid.sum() < 100:
+            self.init_ref = frame
+            return False
+        ref = self.init_ref
+        res = match_frames_windowed(
+            jnp.asarray(ref.desc), jnp.asarray(ref.xy), jnp.asarray(ref.angle),
+            jnp.asarray(ref.valid), jnp.asarray(frame.desc),
+            jnp.asarray(frame.xy), jnp.asarray(frame.angle),
+            jnp.asarray(frame.valid), jnp.float32(100.0), jnp.float32(0.9),
+        )
+        m_valid = np.asarray(res.valid)
+        m_idx = np.asarray(res.idx)
+        if m_valid.sum() < 100:
+            self.init_ref = frame  # reference too stale, restart
+            return False
+
+        x1 = ref.xy
+        x2 = np.where(m_valid[:, None], frame.xy[np.maximum(m_idx, 0)], 0.0)
+        vidx = np.where(m_valid)[0]
+        samples = self._rng.choice(vidx, size=(N_ITERS, 8)).astype(np.int32)
+        init_res = initialize_two_view(
+            jnp.asarray(x1.astype(np.float32)), jnp.asarray(x2.astype(np.float32)),
+            jnp.asarray(m_valid), self.cam.K, jnp.asarray(samples),
+        )
+        if not bool(init_res.success):
+            return False
+
+        good = np.asarray(init_res.good)
+        pts3d = np.asarray(init_res.points3d)
+        T21 = np.asarray(init_res.T21)
+
+        # Normalize scale: median depth -> 1 (†CreateInitialMapMonocular)
+        med_depth = float(np.median(pts3d[good][:, 2]))
+        if med_depth <= 0:
+            return False
+        pts3d = pts3d / med_depth
+        T21[:3, 3] /= med_depth
+
+        m = self.map
+        kf0 = m.add_keyframe(
+            np.eye(4, dtype=np.float32), ref.xy, ref.desc, ref.octave, ref.angle,
+            ref.valid, ref.frame_id, ref.timestamp, ur=ref.ur, depth=ref.depth,
+        )
+        kf1 = m.add_keyframe(
+            T21.astype(np.float32), frame.xy, frame.desc, frame.octave,
+            frame.angle, frame.valid, frame.frame_id, frame.timestamp,
+            ur=frame.ur, depth=frame.depth,
+        )
+        new_mps = []
+        for i in np.where(good)[0]:
+            mp = m.add_map_point(pts3d[i], kf0)
+            m.add_observation(mp, kf0, int(i))
+            m.add_observation(mp, kf1, int(m_idx[i]))
+            frame.mp[m_idx[i]] = mp
+            new_mps.append(mp)
+        m.update_point_attributes(np.asarray(new_mps))
+        m.update_connections(kf1)
+        m.update_connections(kf0)
+
+        frame.Tcw = T21
+        self.ref_kf = kf1
+        self.last_kf_frame_id = frame.frame_id
+        self.init_ref = None
+        self.n_inliers_last = len(new_mps)
+        return True
+
+    def _initialize_rgbd(self, frame: FrameData) -> bool:
+        """Stereo/RGB-D init: spawn map points for all features with depth
+        (†Tracking::StereoInitialization)."""
+        ok = frame.valid & (frame.depth > 0)
+        if ok.sum() < 100:
+            return False
+        m = self.map
+        frame.Tcw = np.eye(4, dtype=np.float32)
+        kf0 = m.add_keyframe(
+            frame.Tcw, frame.xy, frame.desc, frame.octave, frame.angle,
+            frame.valid, frame.frame_id, frame.timestamp, ur=frame.ur,
+            depth=frame.depth,
+        )
+        fx = float(np.asarray(self.cam.fx))
+        fy = float(np.asarray(self.cam.fy))
+        cx = float(np.asarray(self.cam.cx))
+        cy = float(np.asarray(self.cam.cy))
+        new_mps = []
+        for i in np.where(ok)[0]:
+            d = frame.depth[i]
+            x = (frame.xy[i, 0] - cx) / fx * d
+            y = (frame.xy[i, 1] - cy) / fy * d
+            mp = m.add_map_point(np.array([x, y, d], np.float32), kf0)
+            m.add_observation(mp, kf0, int(i))
+            frame.mp[i] = mp
+            new_mps.append(mp)
+        m.update_point_attributes(np.asarray(new_mps))
+        m.update_connections(kf0)
+        self.ref_kf = kf0
+        self.last_kf_frame_id = frame.frame_id
+        self.n_inliers_last = len(new_mps)
+        return True
+
+    # ------------------------------------------------------------------
+    # Frame-to-map tracking
+    # ------------------------------------------------------------------
+    def _gather_local_points(self) -> Tuple[np.ndarray, dict]:
+        """Local map = points observed by the reference KF's covisibility
+        neighborhood (†UpdateLocalPoints), padded to a fixed capacity."""
+        m = self.map
+        kfs = [self.ref_kf] + [int(k) for k in m.covisible_keyframes(self.ref_kf)]
+        mp_ids = np.unique(m.kf_mp[kfs])
+        mp_ids = mp_ids[(mp_ids >= 0)]
+        mp_ids = mp_ids[m.mp_valid[mp_ids]]
+        if len(mp_ids) > self.local_point_cap:
+            mp_ids = mp_ids[: self.local_point_cap]
+        P = self.local_point_cap
+        sel = np.zeros(P, np.int64)
+        sel[: len(mp_ids)] = mp_ids
+        valid = np.zeros(P, bool)
+        valid[: len(mp_ids)] = True
+        buf = dict(
+            pos=jnp.asarray(m.mp_pos[sel]),
+            desc=jnp.asarray(m.mp_desc[sel]),
+            valid=jnp.asarray(valid),
+            normal=jnp.asarray(m.mp_normal[sel]),
+            dmin=jnp.asarray(m.mp_dmin[sel]),
+            dmax=jnp.asarray(m.mp_dmax[sel]),
+        )
+        return sel, buf
+
+    def _run_track_kernel(self, frame, Tcw_pred, buf, radius, max_dist, nn_ratio,
+                          do_pose_opt=True):
+        cfg = self.cfg.extractor
+        return track_against_points(
+            self.cam, jnp.asarray(Tcw_pred),
+            buf["pos"], buf["desc"], buf["valid"], buf["normal"],
+            buf["dmin"], buf["dmax"],
+            jnp.asarray(frame.xy), jnp.asarray(frame.desc),
+            jnp.asarray(frame.octave), jnp.asarray(frame.valid),
+            jnp.asarray(frame.ur),
+            jnp.float32(radius), jnp.float32(cfg.scale_factor), cfg.n_levels,
+            max_dist=max_dist, nn_ratio=nn_ratio, do_pose_opt=do_pose_opt,
+        )
+
+    def _track_frame(self, frame: FrameData) -> bool:
+        m = self.map
+        sel, buf = self._gather_local_points()
+
+        # --- motion model prediction (fall back to last pose)
+        if self.velocity is not None and self.last_frame.Tcw is not None:
+            Tcw_pred = self.velocity @ self.last_frame.Tcw
+            radius = self.cfg.tracking.motion_model_radius
+        else:
+            Tcw_pred = (
+                self.last_frame.Tcw
+                if self.last_frame and self.last_frame.Tcw is not None
+                else m.kf_pose[self.ref_kf]
+            )
+            radius = 2.0 * self.cfg.tracking.motion_model_radius
+
+        opt, mp2kp, mvalid = self._run_track_kernel(
+            frame, Tcw_pred, buf, radius, matching.TH_HIGH, 0.9
+        )
+        n_inl = int(opt.n_inliers)
+        if n_inl < self.cfg.tracking.min_inliers_track:
+            # retry with a wide radius (reference doubles th and retries)
+            opt, mp2kp, mvalid = self._run_track_kernel(
+                frame, Tcw_pred, buf, 2 * radius, matching.TH_HIGH, 0.9
+            )
+            n_inl = int(opt.n_inliers)
+            if n_inl < self.cfg.tracking.min_inliers_track:
+                return False
+
+        # --- track local map: re-match with tight radius at refined pose
+        opt2, mp2kp, mvalid = self._run_track_kernel(
+            frame, np.asarray(opt.Tcw), buf, 4.0, matching.TH_HIGH, 0.9
+        )
+        n_inl2 = int(opt2.n_inliers)
+        if n_inl2 < self.cfg.tracking.min_inliers_local_map:
+            return False
+
+        frame.Tcw = np.asarray(opt2.Tcw)
+        inl = np.asarray(opt2.inliers)
+        kp_of_mp = np.asarray(mp2kp)
+        frame.mp[:] = -1
+        matched_rows = np.where(inl)[0]
+        frame.mp[kp_of_mp[matched_rows]] = sel[matched_rows]
+        # visibility statistics for culling
+        m.mp_visible[sel[np.asarray(mvalid)]] += 1
+        m.mp_found[sel[matched_rows]] += 1
+        self.n_inliers_last = n_inl2
+        self.metrics.append(
+            dict(frame=frame.frame_id, inliers=n_inl2, motion_inliers=n_inl)
+        )
+        return True
+
+    # ------------------------------------------------------------------
+    # Keyframe policy (†Tracking::NeedNewKeyFrame, simplified gates)
+    # ------------------------------------------------------------------
+    def _need_new_keyframe(self, frame: FrameData) -> bool:
+        tcfg = self.cfg.tracking
+        since = frame.frame_id - self.last_kf_frame_id
+        ref_tracked = int((self.map.kf_mp[self.ref_kf] >= 0).sum())
+        # Reference gates (†NeedNewKeyFrame): stale (>max frames), or tracking
+        # decaying vs the reference KF. Our pipeline is synchronous, so the
+        # "local mapping idle" condition becomes a minimum 3-frame spacing
+        # unless tracking is about to be lost.
+        urgent = self.n_inliers_last < 40
+        decayed = self.n_inliers_last < 0.75 * ref_tracked and since >= 3
+        stale = since >= tcfg.max_frames_between_kf
+        return bool((stale or decayed or urgent) and self.n_inliers_last >= 15)
+
+    def _create_keyframe(self, frame: FrameData) -> int:
+        m = self.map
+        kf = m.add_keyframe(
+            frame.Tcw.astype(np.float32), frame.xy, frame.desc, frame.octave,
+            frame.angle, frame.valid, frame.frame_id, frame.timestamp,
+            ur=frame.ur, depth=frame.depth,
+        )
+        touched = []
+        for feat in np.where(frame.mp >= 0)[0]:
+            m.add_observation(int(frame.mp[feat]), kf, int(feat))
+            touched.append(int(frame.mp[feat]))
+        # RGB-D: spawn close points not yet matched (†CreateNewKeyFrame)
+        if (frame.depth > 0).any():
+            self._spawn_depth_points(frame, kf)
+        if touched:
+            m.update_point_attributes(np.asarray(touched))
+        m.update_connections(kf)
+        self.ref_kf = kf
+        self.last_kf_frame_id = frame.frame_id
+        return kf
+
+    def _spawn_depth_points(self, frame: FrameData, kf: int, max_new: int = 100):
+        m = self.map
+        th_depth = self.cfg.camera.th_depth * float(np.asarray(self.cam.baseline))
+        cand = np.where(
+            frame.valid & (frame.depth > 0) & (frame.mp < 0)
+        )[0]
+        if len(cand) == 0:
+            return
+        order = cand[np.argsort(frame.depth[cand])]
+        close = order[frame.depth[order] < th_depth]
+        spawn = order[:max_new] if len(close) < 100 else close[:max_new]
+        Twc = np.linalg.inv(frame.Tcw)
+        fx = float(np.asarray(self.cam.fx)); fy = float(np.asarray(self.cam.fy))
+        cx = float(np.asarray(self.cam.cx)); cy = float(np.asarray(self.cam.cy))
+        new_mps = []
+        for i in spawn:
+            d = frame.depth[i]
+            pc = np.array(
+                [(frame.xy[i, 0] - cx) / fx * d, (frame.xy[i, 1] - cy) / fy * d, d],
+                np.float32,
+            )
+            pw = Twc[:3, :3] @ pc + Twc[:3, 3]
+            mp = m.add_map_point(pw, kf)
+            m.add_observation(mp, kf, int(i))
+            frame.mp[i] = mp
+            new_mps.append(mp)
+        if new_mps:
+            m.update_point_attributes(np.asarray(new_mps))
