@@ -161,9 +161,10 @@ def track_against_points(
     return opt, jnp.where(keep, res.idx, -1), keep
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("nn_ratio",))
 def match_frames_windowed(
-    desc_a, xy_a, angle_a, valid_a, desc_b, xy_b, angle_b, valid_b, window, nn_ratio
+    desc_a, xy_a, angle_a, valid_a, desc_b, xy_b, angle_b, valid_b, window,
+    nn_ratio=0.9,
 ):
     """SearchForInitialization: windowed + ratio + rotation-checked match."""
     pair = matching.radius_gate(
@@ -291,7 +292,7 @@ class Tracker:
             jnp.asarray(ref.desc), jnp.asarray(ref.xy), jnp.asarray(ref.angle),
             jnp.asarray(ref.valid), jnp.asarray(frame.desc),
             jnp.asarray(frame.xy), jnp.asarray(frame.angle),
-            jnp.asarray(frame.valid), jnp.float32(100.0), jnp.float32(0.9),
+            jnp.asarray(frame.valid), jnp.float32(100.0), nn_ratio=0.9,
         )
         m_valid = np.asarray(res.valid)
         m_idx = np.asarray(res.idx)
@@ -311,8 +312,8 @@ class Tracker:
             return False
 
         good = np.asarray(init_res.good)
-        pts3d = np.asarray(init_res.points3d)
-        T21 = np.asarray(init_res.T21)
+        pts3d = np.array(init_res.points3d)  # writable copies
+        T21 = np.array(init_res.T21)
 
         # Normalize scale: median depth -> 1 (†CreateInitialMapMonocular)
         med_depth = float(np.median(pts3d[good][:, 2]))
