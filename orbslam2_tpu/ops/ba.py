@@ -124,8 +124,14 @@ def _robust_weights(r, sigma2, is_stereo, valid, z, use_huber):
     return w, chi2, cost
 
 
-def _build_and_solve(cam, poses, points, prob, valid_obs, use_huber, lam):
-    """One normal-equation build + Schur solve. Returns (dc (K,6), dl (M,3))."""
+def _build_and_solve(cam, poses, points, prob, valid_obs, use_huber, lam,
+                     axis_name=None):
+    """One normal-equation build + Schur solve. Returns (dc (K,6), dl (M,3)).
+
+    With `axis_name` set (inside shard_map over the landmark axis), the
+    reduced system S and RHS are psum-reduced across the mesh before the
+    (replicated) solve — the multi-chip Schur reduction of SURVEY §5.7.
+    """
     K = poses.shape[0]
     r, Jp, Jl, z, is_stereo = _project_residuals(cam, poses, points, prob)
     w, _, _ = _robust_weights(r, prob.obs_sigma2, is_stereo, valid_obs, z, use_huber)
@@ -170,6 +176,12 @@ def _build_and_solve(cam, poses, points, prob, valid_obs, use_huber, lam):
         jnp.einsum("moij,mj->moi", ED, b_l).reshape(-1, 6), kf_flat, num_segments=K
     )
 
+    if axis_name is not None:
+        # Landmark axis is sharded: the reduced camera system is the sum of
+        # per-shard contributions (rides ICI as one all-reduce).
+        S = jax.lax.psum(S, axis_name)
+        b_S = jax.lax.psum(b_S, axis_name)
+
     # Fix non-optimized cameras: identity rows/cols, zero RHS.
     fixed = ~prob.opt_mask
     S = jnp.where(fixed[:, None, None, None], 0.0, S)
@@ -212,13 +224,27 @@ def optimize_ba(
     outlier_rounds: int = 1,
     fix_points: bool = False,
 ) -> BAResult:
-    """Run the reference's local/global BA schedule.
+    """Run the reference's local/global BA schedule (single device).
 
     iters LM iterations with Huber; then chi2 outlier classification and
     `outlier_rounds` x (iters//2) more iterations without outliers/robust
     kernel (matches the 5+10 / drop-outliers schedule of
     †LocalBundleAdjustment).
     """
+    return optimize_ba_impl(cam, prob, iters, outlier_rounds, fix_points, None)
+
+
+def optimize_ba_impl(
+    cam: Camera,
+    prob: BAProblem,
+    iters: int = 15,
+    outlier_rounds: int = 1,
+    fix_points: bool = False,
+    axis_name: str | None = None,
+) -> BAResult:
+    """Unjitted BA body; `axis_name` enables the sharded (shard_map) path
+    where the landmark axis is split across devices and the reduced camera
+    system is psum-reduced (see parallel/sharded_ba.py)."""
     valid0 = prob.obs_valid & (prob.obs_kf >= 0) & prob.point_valid[:, None]
 
     def cost_of(poses, points, valid_obs, use_huber):
@@ -226,13 +252,16 @@ def optimize_ba(
         _, chi2, cost = _robust_weights(
             r, prob.obs_sigma2, is_st, valid_obs, z, use_huber
         )
+        if axis_name is not None:
+            cost = jax.lax.psum(cost, axis_name)
         return cost, chi2
 
     def lm_phase(poses, points, valid_obs, use_huber, n):
         def body(_, carry):
             poses, points, lam, prev_cost = carry
             dc, dl = _build_and_solve(
-                cam, poses, points, prob, valid_obs, use_huber, lam
+                cam, poses, points, prob, valid_obs, use_huber, lam,
+                axis_name=axis_name,
             )
             if fix_points:
                 dl = jnp.zeros_like(dl)
