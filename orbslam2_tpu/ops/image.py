@@ -45,28 +45,37 @@ def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0) -> jnp.n
     return pass_along(pass_along(img, 0), 1)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _resize_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """Static (n_out, n_in) bilinear interpolation matrix with cv::resize's
+    half-pixel center alignment (src = (dst + 0.5) * scale - 0.5)."""
+    s = (np.arange(n_out, dtype=np.float64) + 0.5) * (n_in / n_out) - 0.5
+    s = np.clip(s, 0.0, n_in - 1.0)
+    i0 = np.floor(s).astype(np.int64)
+    i1 = np.minimum(i0 + 1, n_in - 1)
+    w = s - i0
+    M = np.zeros((n_out, n_in), np.float32)
+    M[np.arange(n_out), i0] += (1.0 - w).astype(np.float32)
+    M[np.arange(n_out), i1] += w.astype(np.float32)
+    return M
+
+
 def resize_bilinear(img: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
-    """Bilinear resize (H, W) -> out_hw, matching cv::resize's half-pixel
-    center alignment (src = (dst + 0.5) * scale - 0.5)."""
+    """Bilinear resize (H, W) -> out_hw as two static matmuls (TPU-native:
+    gathers are slow on TPU, the MXU is not — the interpolation matrices are
+    compile-time constants, so this is Ry @ img @ Cx^T)."""
     H, W = img.shape
     oh, ow = out_hw
-    ys = (jnp.arange(oh, dtype=jnp.float32) + 0.5) * (H / oh) - 0.5
-    xs = (jnp.arange(ow, dtype=jnp.float32) + 0.5) * (W / ow) - 0.5
-    ys = jnp.clip(ys, 0.0, H - 1.0)
-    xs = jnp.clip(xs, 0.0, W - 1.0)
-    y0 = jnp.floor(ys).astype(jnp.int32)
-    x0 = jnp.floor(xs).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, H - 1)
-    x1 = jnp.minimum(x0 + 1, W - 1)
-    wy = (ys - y0)[:, None]
-    wx = (xs - x0)[None, :]
-    Ia = img[y0][:, x0]
-    Ib = img[y0][:, x1]
-    Ic = img[y1][:, x0]
-    Id = img[y1][:, x1]
-    top = Ia * (1 - wx) + Ib * wx
-    bot = Ic * (1 - wx) + Id * wx
-    return top * (1 - wy) + bot * wy
+    Ry = jnp.asarray(_resize_matrix(H, oh))
+    Cx = jnp.asarray(_resize_matrix(W, ow))
+    return jnp.dot(
+        jnp.dot(Ry, img, preferred_element_type=jnp.float32),
+        Cx.T,
+        preferred_element_type=jnp.float32,
+    )
 
 
 def pyramid_shapes(h: int, w: int, n_levels: int, scale_factor: float) -> List[Tuple[int, int]]:

@@ -247,6 +247,51 @@ def brief_descriptors(
     ).astype(jnp.uint8)
 
 
+def ic_angles_conv(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """TPU-fast IC angles: the patch moments m10/m01 are correlations of the
+    image with the static weight tables, so compute them as one 2-channel
+    conv over the whole level and gather 2 scalars per keypoint (instead of
+    gathering 41x41 patches — gathers are the slow path on TPU)."""
+    wx, wy = _ic_weight_tables()
+    H, W = img.shape
+    k = np.stack([wx, wy])[:, None]  # (2, 1, P, P)
+    out = jax.lax.conv_general_dilated(
+        img[None, None], jnp.asarray(k), (1, 1), "SAME",
+        preferred_element_type=jnp.float32,
+    )[0]  # (2, H, W)
+    flat_idx = xy[:, 1] * W + xy[:, 0]
+    m10 = jnp.take(out[0].reshape(-1), flat_idx)
+    m01 = jnp.take(out[1].reshape(-1), flat_idx)
+    return jnp.arctan2(m01, m10)
+
+
+def brief_descriptors_flat(
+    blurred: jnp.ndarray, xy: jnp.ndarray, angles: jnp.ndarray
+) -> jnp.ndarray:
+    """Steered BRIEF sampling directly from the blurred level image by flat
+    index (512 samples/keypoint) — no 41x41 patch materialization.
+
+    Requires keypoints >= PATCH_R from the border (detect_level guarantees
+    this), since rotated offsets stay within radius 13*sqrt(2) < PATCH_R.
+    """
+    H, W = blurred.shape
+    pa, pb = _brief_pattern()
+    px = jnp.asarray(np.concatenate([pa[:, 0], pb[:, 0]]), jnp.float32)
+    py = jnp.asarray(np.concatenate([pa[:, 1], pb[:, 1]]), jnp.float32)
+    c = jnp.cos(angles)[:, None]
+    s = jnp.sin(angles)[:, None]
+    rc = jnp.round(px[None] * c - py[None] * s).astype(jnp.int32)
+    rr = jnp.round(px[None] * s + py[None] * c).astype(jnp.int32)
+    yy = jnp.clip(xy[:, 1:2] + rr, 0, H - 1)
+    xx = jnp.clip(xy[:, 0:1] + rc, 0, W - 1)
+    vals = jnp.take(blurred.reshape(-1), yy * W + xx)  # (N, 512)
+    bits = (vals[:, :256] < vals[:, 256:]).astype(jnp.uint32)
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint32)
+    return jnp.einsum(
+        "nkb,b->nk", bits.reshape(-1, 32, 8), weights
+    ).astype(jnp.uint8)
+
+
 def unpack_bits(desc: jnp.ndarray) -> jnp.ndarray:
     """(N, 32) uint8 -> (N, 256) {0,1} uint8 (LSB-first per byte)."""
     shifts = jnp.arange(8, dtype=jnp.uint8)
@@ -299,11 +344,9 @@ class OrbExtractor:
             xy_i, resp, valid = detect_level(
                 level_img, n_l, float(cfg.ini_th_fast), float(cfg.min_th_fast)
             )
-            patches_raw = extract_patches(level_img, xy_i)
-            ang = ic_angles(patches_raw)
+            ang = ic_angles_conv(level_img, xy_i)
             blurred = img_ops.gaussian_blur(level_img)
-            patches_blur = extract_patches(blurred, xy_i)
-            desc = brief_descriptors(patches_blur, ang)
+            desc = brief_descriptors_flat(blurred, xy_i, ang)
             scale = cfg.scale_factor ** lvl
             out_xy.append(xy_i.astype(jnp.float32) * scale)
             out_resp.append(resp)

@@ -204,3 +204,32 @@ class TestExtractor:
         b = orb.level_budgets(1000, 8, 1.2)
         assert sum(b) == 1000
         assert b[0] > b[1] > b[7]
+
+
+class TestFastPathsMatchReferencePaths:
+    """The TPU-fast conv/flat-gather implementations must agree with the
+    patch-based oracle implementations."""
+
+    def test_ic_angles_conv_matches_patches(self, rng):
+        img = rng.uniform(0, 255, size=(120, 160)).astype(np.float32)
+        xy = np.stack(
+            [rng.integers(25, 135, 20), rng.integers(25, 95, 20)], axis=1
+        ).astype(np.int32)
+        a_patch = np.asarray(orb.ic_angles(orb.extract_patches(jnp.asarray(img), jnp.asarray(xy))))
+        a_conv = np.asarray(orb.ic_angles_conv(jnp.asarray(img), jnp.asarray(xy)))
+        np.testing.assert_allclose(a_conv, a_patch, atol=1e-4)
+
+    def test_brief_flat_matches_patches(self, rng):
+        img = rng.uniform(0, 255, size=(120, 160)).astype(np.float32)
+        blur = img_ops.gaussian_blur(jnp.asarray(img))
+        xy = np.stack(
+            [rng.integers(25, 135, 20), rng.integers(25, 95, 20)], axis=1
+        ).astype(np.int32)
+        ang = rng.uniform(-np.pi, np.pi, 20).astype(np.float32)
+        d_patch = np.asarray(
+            orb.brief_descriptors(orb.extract_patches(blur, jnp.asarray(xy)), jnp.asarray(ang))
+        )
+        d_flat = np.asarray(
+            orb.brief_descriptors_flat(blur, jnp.asarray(xy), jnp.asarray(ang))
+        )
+        np.testing.assert_array_equal(d_flat, d_patch)
