@@ -1,0 +1,110 @@
+"""Keyframe database: loop / relocalization candidate retrieval.
+
+Re-design of †src/KeyFrameDatabase.cc (SURVEY §2.8): the DBoW2 inverted file
+becomes a dense (K, W) BoW matrix; retrieval is one matvec. The gating logic
+is kept: minCommonWords = 0.8 * max common words, candidate score >= minScore,
+score accumulation over each candidate's top-10 covisibility group, groups
+>= 0.75 * best accumulated score, best keyframe per group, excluding the
+query's own covisible set.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import bow
+from .state import MapState
+
+
+class KeyFrameDatabase:
+    def __init__(self, map_state: MapState, vocab_bits: Optional[np.ndarray] = None,
+                 n_words: int = bow.VOCAB_SIZE):
+        self.map = map_state
+        self.vocab = vocab_bits if vocab_bits is not None else bow.random_vocabulary(n_words)
+        K = map_state.kf_valid.shape[0]
+        self.bow_mat = np.zeros((K, self.vocab.shape[0]), np.float32)
+        self.in_db = np.zeros(K, bool)
+
+    # ------------------------------------------------------------------
+    def compute_bow(self, desc: np.ndarray, valid: np.ndarray) -> np.ndarray:
+        return np.asarray(
+            bow.bow_vector(jnp.asarray(desc), jnp.asarray(valid), jnp.asarray(self.vocab))
+        )
+
+    def add(self, kf: int):
+        m = self.map
+        self.bow_mat[kf] = self.compute_bow(m.kf_desc[kf], m.kf_feat_valid[kf])
+        self.in_db[kf] = True
+
+    def erase(self, kf: int):
+        self.in_db[kf] = False
+        self.bow_mat[kf] = 0.0
+
+    # ------------------------------------------------------------------
+    def _candidate_scores(self, query_bow: np.ndarray, exclude: np.ndarray):
+        live = self.in_db & self.map.kf_valid
+        live[exclude[exclude >= 0]] = False
+        if not live.any():
+            return None
+        scores = np.asarray(bow.score_against(jnp.asarray(query_bow), jnp.asarray(self.bow_mat)))
+        ncommon = np.asarray(bow.common_words(jnp.asarray(query_bow), jnp.asarray(self.bow_mat)))
+        scores[~live] = -1.0
+        ncommon[~live] = 0
+        return scores, ncommon, live
+
+    def detect_loop_candidates(self, kf: int, min_score: float) -> List[int]:
+        """†DetectLoopCandidates: exclude covisibles of the query."""
+        m = self.map
+        covis = m.covisible_keyframes(kf)
+        exclude = np.concatenate([covis, [kf]]).astype(np.int64)
+        out = self._candidate_scores(self.bow_mat[kf], exclude)
+        if out is None:
+            return []
+        scores, ncommon, live = out
+        return self._group_accumulate(scores, ncommon, live, min_score)
+
+    def detect_relocalization_candidates(self, query_bow: np.ndarray) -> List[int]:
+        """†DetectRelocalizationCandidates: no minScore / no exclusion."""
+        out = self._candidate_scores(query_bow, np.zeros(0, np.int64))
+        if out is None:
+            return []
+        scores, ncommon, live = out
+        return self._group_accumulate(scores, ncommon, live, min_score=-1.0)
+
+    def _group_accumulate(self, scores, ncommon, live, min_score) -> List[int]:
+        m = self.map
+        max_common = ncommon.max(initial=0)
+        if max_common == 0:
+            return []
+        min_common = int(0.8 * max_common)
+        cand = np.where(live & (ncommon > min_common) & (scores >= min_score))[0]
+        if len(cand) == 0:
+            return []
+        # accumulate scores over each candidate's top-10 covisibility group
+        acc_scores = []
+        best_in_group = []
+        for c in cand:
+            group = np.concatenate([[c], m.covisible_keyframes(int(c), 10)])
+            gs = scores[group]
+            gs = np.where(live[group], gs, 0.0)
+            acc = float(np.clip(gs, 0, None).sum())
+            acc_scores.append(acc)
+            best_in_group.append(int(group[int(np.argmax(gs))]))
+        acc_scores = np.asarray(acc_scores)
+        th = 0.75 * acc_scores.max()
+        keep = acc_scores >= th
+        # unique best keyframes, order by accumulated score
+        order = np.argsort(-acc_scores)
+        seen = set()
+        result = []
+        for i in order:
+            if not keep[i]:
+                continue
+            b = best_in_group[i]
+            if b not in seen:
+                seen.add(b)
+                result.append(b)
+        return result

@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from . import geometry as geo
+from . import linalg_small
 from ..models.camera import Camera
 
 CHI2_MONO = 5.991
@@ -153,9 +154,7 @@ def _build_and_solve(cam, poses, points, prob, valid_obs, use_huber, lam,
     D_damped = D + lamI * jnp.eye(3, dtype=D.dtype) * jnp.maximum(
         jnp.trace(D, axis1=-2, axis2=-1)[..., None, None] / 3.0, 1e-6
     )
-    D_inv = jnp.linalg.inv(
-        D_damped + 1e-8 * jnp.eye(3, dtype=D.dtype)
-    )
+    D_inv = linalg_small.inv3x3(D_damped + 1e-8 * jnp.eye(3, dtype=D.dtype))
     D_inv = jnp.where(prob.point_valid[:, None, None], D_inv, 0.0)
 
     # Schur complement S (dense) and reduced RHS.

@@ -353,6 +353,46 @@ def sim3_exp(xi: jnp.ndarray) -> jnp.ndarray:
     return sim3_make(s, R, t)
 
 
+def sim3_log(S: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of sim3_exp: Sim3 vector (..., 8) -> tangent (..., 7).
+
+    rho is recovered by solving W rho = t with the same W-matrix
+    coefficients used in sim3_exp.
+    """
+    s = jnp.maximum(sim3_s(S), _EPS)
+    sigma = jnp.log(s)
+    R = sim3_R(S)
+    phi = so3_log(R)
+    t = sim3_t(S)
+
+    theta2 = jnp.sum(phi * phi, axis=-1)
+    theta = jnp.sqrt(theta2 + _EPS * _EPS)
+    K = hat(phi / jnp.maximum(theta, _EPS)[..., None])
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=S.dtype), K.shape)
+
+    sig = sigma
+    small_sig = jnp.abs(sig) < 1e-5
+    small_th = theta < 1e-5
+    C = jnp.where(
+        small_sig, 1.0 + sig / 2.0 + sig * sig / 6.0,
+        (s - 1.0) / jnp.where(small_sig, 1.0, sig),
+    )
+    a_ = s * jnp.sin(theta)
+    b_ = s * jnp.cos(theta)
+    th_sq = theta * theta
+    sig_sq = sig * sig
+    denom = jnp.maximum(sig_sq + th_sq, _EPS)
+    A_gen = (a_ * sig + (1.0 - b_) * theta) / (jnp.maximum(theta, _EPS) * denom)
+    B_gen = (C - ((b_ - 1.0) * sig + a_ * theta) / denom) / jnp.maximum(th_sq, _EPS)
+    A_s0 = (1.0 - jnp.cos(theta)) / jnp.maximum(th_sq, _EPS)
+    B_s0 = (theta - jnp.sin(theta)) / jnp.maximum(th_sq * theta, _EPS)
+    A = jnp.where(small_th, 0.0, jnp.where(small_sig, A_s0 * theta, A_gen * theta))
+    B = jnp.where(small_th, 0.0, jnp.where(small_sig, B_s0 * th_sq, B_gen * th_sq))
+    W = A[..., None, None] * K + B[..., None, None] * (K @ K) + C[..., None, None] * eye
+    rho = jnp.linalg.solve(W, t[..., None])[..., 0]
+    return jnp.concatenate([rho, phi, sigma[..., None]], axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # Horn absolute orientation (closed form, with optional scale)
 # ---------------------------------------------------------------------------

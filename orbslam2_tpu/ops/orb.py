@@ -247,22 +247,60 @@ def brief_descriptors(
     ).astype(jnp.uint8)
 
 
-def ic_angles_conv(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
-    """TPU-fast IC angles: the patch moments m10/m01 are correlations of the
-    image with the static weight tables, so compute them as one 2-channel
-    conv over the whole level and gather 2 scalars per keypoint (instead of
-    gathering 41x41 patches — gathers are the slow path on TPU)."""
-    wx, wy = _ic_weight_tables()
+def _ic_moment_maps(img: jnp.ndarray):
+    """Whole-image IC moment maps m10, m01 via row prefix sums.
+
+    The circular-patch moments are per-row horizontal ramp/box sums, so with
+    prefix sums along x each row of the circle costs O(1) per pixel:
+      sum_{|dx|<=u} I(y+dy, x+dx)      = P[y+dy, x+u+1] - P[y+dy, x-u]
+      sum_{|dx|<=u} dx I(y+dy, x+dx)   = (QJ - x * P) differences
+    31 unrolled dy rows of cheap shifted adds — no conv, no gathers; exact
+    match to the patch-based †IC_Angle computation.
+    """
     H, W = img.shape
-    k = np.stack([wx, wy])[:, None]  # (2, 1, P, P)
-    out = jax.lax.conv_general_dilated(
-        img[None, None], jnp.asarray(k), (1, 1), "SAME",
-        preferred_element_type=jnp.float32,
-    )[0]  # (2, H, W)
+    pad = IC_R + 1
+    zero_col = jnp.zeros((H, 1), img.dtype)
+    P = jnp.concatenate([zero_col, jnp.cumsum(img, axis=1)], axis=1)  # (H, W+1)
+    j = jnp.arange(W, dtype=img.dtype)[None, :]
+    QJ = jnp.concatenate([zero_col, jnp.cumsum(img * j, axis=1)], axis=1)
+    # pad so x-u and x+u+1 lookups stay in range (border rows are garbage,
+    # but keypoints live >= PATCH_R from the border)
+    Pp = jnp.pad(P, ((0, 0), (pad, pad)))
+    QJp = jnp.pad(QJ, ((0, 0), (pad, pad)))
+    xcol = jnp.arange(W, dtype=img.dtype)[None, :]
+
+    dy_vals = np.arange(-IC_R, IC_R + 1)
+    umax = np.round(np.sqrt(np.maximum(IC_R * IC_R - dy_vals * dy_vals, 0.0))).astype(int)
+    m10 = jnp.zeros((H, W), img.dtype)
+    m01 = jnp.zeros((H, W), img.dtype)
+    for dy, u in zip(dy_vals, umax):
+        # slice so column x reads index (x + u + 1) and (x - u) of P
+        hiP = Pp[:, pad + u + 1 : pad + u + 1 + W]
+        loP = Pp[:, pad - u : pad - u + W]
+        hiQ = QJp[:, pad + u + 1 : pad + u + 1 + W]
+        loQ = QJp[:, pad - u : pad - u + W]
+        sI = hiP - loP
+        sJI = hiQ - loQ
+        row_m10 = sJI - xcol * sI
+        if dy != 0:
+            row_m10 = jnp.roll(row_m10, -dy, axis=0)
+            sI_r = jnp.roll(sI, -dy, axis=0)
+        else:
+            sI_r = sI
+        m10 = m10 + row_m10
+        m01 = m01 + float(dy) * sI_r
+    return m10, m01
+
+
+def ic_angles_conv(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """TPU-fast IC angles: whole-level prefix-sum moment maps + a 2-scalar
+    gather per keypoint (gathers of big patches are the slow path on TPU)."""
+    H, W = img.shape
+    m10, m01 = _ic_moment_maps(img)
     flat_idx = xy[:, 1] * W + xy[:, 0]
-    m10 = jnp.take(out[0].reshape(-1), flat_idx)
-    m01 = jnp.take(out[1].reshape(-1), flat_idx)
-    return jnp.arctan2(m01, m10)
+    return jnp.arctan2(
+        jnp.take(m01.reshape(-1), flat_idx), jnp.take(m10.reshape(-1), flat_idx)
+    )
 
 
 def brief_descriptors_flat(

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from . import geometry as geo
+from . import linalg_small
 from ..models.camera import Camera
 
 CHI2_MONO = 5.991    # 2-DoF 95% (†Optimizer.cc)
@@ -136,7 +137,7 @@ def optimize_pose(
             b = jnp.einsum("nri,nr->i", Jw, r)
             # Levenberg damping on the diagonal.
             Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6, dtype=H.dtype)
-            dx = -jnp.linalg.solve(Hd, b)
+            dx = -linalg_small.solve_spd_small(Hd, b)
             T_new = geo.se3_exp(dx) @ Tcw
             # Robustified cost so accept/reject matches the robust gradient.
             r2, _, _ = _residuals_jacobians(T_new, cam, pts_w, obs, is_stereo)
