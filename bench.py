@@ -1,9 +1,10 @@
 """Headline benchmark: tracking-step throughput per chip.
 
-Runs the flagship jitted per-frame compute (ORB extract at 1000 features on
-640x480 + projection-gated matching against 2048 map points + motion-only
-LM pose optimization — the reference's per-frame hot path, SURVEY §3.2) and
-reports frames/s on the current accelerator.
+Runs the per-frame hot path exactly as the production tracker does — one
+jitted ORB extraction (1000 features, 8 levels, 640x480) + one jitted
+projection-gated match + motion-only LM program against 2048 map points
+(SURVEY §3.2's hot loops 1-4) — streaming uint8 frames host->device,
+pipelined dispatch, one sync at the end.
 
 Baseline: the reference tracks at ~30 Hz (mean 22-35 ms/frame @1000
 features) on an i7-4790 (BASELINE.md). vs_baseline = fps / 30.
@@ -19,25 +20,58 @@ import numpy as np
 
 def main():
     import jax
+    import jax.numpy as jnp
 
-    from __graft_entry__ import entry
+    from orbslam2_tpu.config import ExtractorConfig
+    from orbslam2_tpu.models.camera import Camera
+    from orbslam2_tpu.ops import orb
+    from orbslam2_tpu.tracking import track_against_points
 
-    fn, args = entry()
-    jfn = jax.jit(fn)
+    H, W = 480, 640
+    cfg = ExtractorConfig(n_features=1000, n_levels=8)
+    extractor = orb.OrbExtractor(cfg, H, W)
+    cam = Camera.create(fx=520.0, fy=520.0, cx=W / 2, cy=H / 2, width=W, height=H)
+    P = 2048
 
-    # Move static inputs to device once; the image is re-fed per frame like a
-    # real camera stream (host->device transfer included in the measurement).
-    img_host = np.asarray(args[0])
-    dev_args = [jax.device_put(a) for a in args[1:]]
+    rng = np.random.default_rng(0)
+    frames = [
+        rng.integers(0, 256, size=(H, W)).astype(np.uint8) for _ in range(4)
+    ]
+    dev = jax.device_put
+    mp_pos = np.concatenate(
+        [rng.uniform(-2, 2, (P, 2)), rng.uniform(4, 9, (P, 1))], 1
+    ).astype(np.float32)
+    args = dict(
+        mp_pos=dev(mp_pos),
+        mp_desc=dev(rng.integers(0, 256, (P, 32)).astype(np.uint8)),
+        mp_valid=dev(np.ones(P, bool)),
+        mp_normal=dev(np.tile(np.float32([0, 0, -1]), (P, 1))),
+        mp_dmin=dev(np.full(P, 0.5, np.float32)),
+        mp_dmax=dev(np.full(P, 50.0, np.float32)),
+    )
+    Tcw = dev(np.eye(4, dtype=np.float32))
+    kp_ur = dev(np.full(cfg.max_keypoints, -1.0, np.float32))
 
-    # Warmup / compile.
-    out = jfn(img_host, *dev_args)
+    cast = jax.jit(lambda x: x.astype(jnp.float32))
+
+    def step(img_u8):
+        feats = extractor._extract(cast(img_u8))
+        opt, idx, valid = track_against_points(
+            cam, Tcw, args["mp_pos"], args["mp_desc"], args["mp_valid"],
+            args["mp_normal"], args["mp_dmin"], args["mp_dmax"],
+            feats.xy, feats.desc, feats.octave, feats.valid, kp_ur,
+            jnp.float32(15.0), jnp.float32(cfg.scale_factor), cfg.n_levels,
+        )
+        return opt.Tcw, opt.n_inliers
+
+    # Warmup / compile both programs.
+    out = step(frames[0])
     jax.block_until_ready(out)
 
-    n = 50
+    n = 100
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = jfn(img_host, *dev_args)
+    for i in range(n):
+        out = step(frames[i % 4])
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     fps = n / dt

@@ -49,8 +49,8 @@ class KeyFrameDatabase:
         live[exclude[exclude >= 0]] = False
         if not live.any():
             return None
-        scores = np.asarray(bow.score_against(jnp.asarray(query_bow), jnp.asarray(self.bow_mat)))
-        ncommon = np.asarray(bow.common_words(jnp.asarray(query_bow), jnp.asarray(self.bow_mat)))
+        scores = np.array(bow.score_against(jnp.asarray(query_bow), jnp.asarray(self.bow_mat)))
+        ncommon = np.array(bow.common_words(jnp.asarray(query_bow), jnp.asarray(self.bow_mat)))
         scores[~live] = -1.0
         ncommon[~live] = 0
         return scores, ncommon, live

@@ -148,18 +148,27 @@ def detect_level(
     th_full = jnp.repeat(jnp.repeat(cell_th, CELL, axis=0), CELL, axis=1)
     Sp = jnp.where(Sp > th_full, Sp, -1.0)
 
-    # Per-cell top-k.
+    # Per-cell top-k, unrolled as K rounds of (max, mask) — lax.top_k on a
+    # (cells, 1024) matrix is ~1.4 ms/level on TPU; this form is pure VPU.
     cells = Sp.reshape(Hc, CELL, Wc, CELL).transpose(0, 2, 1, 3).reshape(
         Hc * Wc, CELL * CELL
     )
-    vals, idx = jax.lax.top_k(cells, TOPK_PER_CELL)          # (C, K)
+    vals_l, idx_l = [], []
+    work = cells
+    for _ in range(TOPK_PER_CELL):
+        i = jnp.argmax(work, axis=1)
+        v = jnp.take_along_axis(work, i[:, None], axis=1)[:, 0]
+        vals_l.append(v)
+        idx_l.append(i)
+        work = work.at[jnp.arange(work.shape[0]), i].set(-jnp.inf)
+    vals = jnp.stack(vals_l, axis=1)                          # (C, K)
+    idx = jnp.stack(idx_l, axis=1)
 
     # Round-robin priority: rank within cell dominates, then response.
     rank = jnp.arange(TOPK_PER_CELL, dtype=jnp.float32)[None, :]
     key = jnp.where(vals > 0, rank * 4096.0 - vals, jnp.inf)
     flat_key = key.reshape(-1)
-    neg = -flat_key
-    _, sel = jax.lax.top_k(neg, n_out)
+    sel = jnp.argsort(flat_key)[:n_out]
     sel_valid = flat_key[sel] < 1e9
 
     cell_id = sel // TOPK_PER_CELL

@@ -21,11 +21,17 @@ from .tracking import Tracker, TrackingState
 
 
 class SlamSystem:
-    def __init__(self, cfg: SlamConfig):
+    def __init__(self, cfg: SlamConfig, enable_loop_closing: bool = True):
         self.cfg = cfg
         self.map = MapState.allocate(cfg)
-        self.tracker = Tracker(cfg, self.map)
+        from .map.keyframe_database import KeyFrameDatabase
+        from .loop_closing import LoopCloser
+
+        self.kfdb = KeyFrameDatabase(self.map)
+        self.tracker = Tracker(cfg, self.map, kfdb=self.kfdb)
         self.local_mapper = LocalMapper(cfg, self.map, self.tracker.cam)
+        self.loop_closer = LoopCloser(cfg, self.map, self.tracker.cam, self.kfdb) \
+            if enable_loop_closing else None
         self.localization_only = False
         self._finished = False
 
@@ -44,17 +50,16 @@ class SlamSystem:
     def track_stereo(self, left: np.ndarray, right: np.ndarray,
                      timestamp: float) -> Optional[np.ndarray]:
         assert self.cfg.sensor == "stereo"
-        from .ops.stereo import stereo_depth_for_tracker
+        return self._track(left, timestamp, None, right_img=right)
 
-        depth = stereo_depth_for_tracker(left, right, self.tracker.cam,
-                                         self.cfg.extractor)
-        return self._track(left, timestamp, depth)
-
-    def _track(self, img, timestamp, depth):
-        pose = self.tracker.track(img, timestamp, depth_map=depth)
+    def _track(self, img, timestamp, depth, right_img=None):
+        pose = self.tracker.track(img, timestamp, depth_map=depth,
+                                  right_img=right_img)
         kf = getattr(self.tracker, "pending_keyframe", None)
         if kf is not None and not self.localization_only:
             self.local_mapper.process_keyframe(kf)
+            if self.loop_closer is not None and self.map.kf_valid[kf]:
+                self.loop_closer.process_keyframe(kf)
             self.tracker.pending_keyframe = None
         return pose
 
@@ -72,9 +77,17 @@ class SlamSystem:
         return self.tracker.state
 
     def reset(self):
+        from .map.keyframe_database import KeyFrameDatabase
+        from .loop_closing import LoopCloser
+
+        enable_lc = self.loop_closer is not None
         self.map = MapState.allocate(self.cfg)
-        self.tracker = Tracker(self.cfg, self.map)
+        self.kfdb = KeyFrameDatabase(self.map)
+        self.tracker = Tracker(self.cfg, self.map, kfdb=self.kfdb)
         self.local_mapper = LocalMapper(self.cfg, self.map, self.tracker.cam)
+        self.loop_closer = LoopCloser(
+            self.cfg, self.map, self.tracker.cam, self.kfdb
+        ) if enable_lc else None
 
     def shutdown(self):
         self._finished = True

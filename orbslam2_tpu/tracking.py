@@ -182,9 +182,10 @@ def match_frames_windowed(
 # ---------------------------------------------------------------------------
 
 class Tracker:
-    def __init__(self, cfg: SlamConfig, slam_map: MapState):
+    def __init__(self, cfg: SlamConfig, slam_map: MapState, kfdb=None):
         self.cfg = cfg
         self.map = slam_map
+        self.kfdb = kfdb  # keyframe database (relocalization); optional
         cc = cfg.camera
         self.cam = Camera.create(
             cc.fx, cc.fy, cc.cx, cc.cy, cc.k1, cc.k2, cc.p1, cc.p2, cc.k3,
@@ -208,7 +209,8 @@ class Tracker:
 
     # ------------------------------------------------------------------
     def _make_frame(self, img: np.ndarray, timestamp: float,
-                    depth_map: Optional[np.ndarray] = None) -> FrameData:
+                    depth_map: Optional[np.ndarray] = None,
+                    right_img: Optional[np.ndarray] = None) -> FrameData:
         feats = self.extractor(img)
         xy = np.asarray(feats.xy)
         if self.cam.has_distortion:
@@ -217,7 +219,22 @@ class Tracker:
         n = xy.shape[0]
         ur = np.full(n, -1.0, np.float32)
         dep = np.full(n, -1.0, np.float32)
-        if depth_map is not None:
+        if right_img is not None:
+            # stereo: extract right features and match along epipolar rows
+            from .ops import stereo
+
+            feats_r = self.extractor(right_img)
+            sf = jnp.asarray(
+                np.asarray(self.cfg.extractor.scale_factors, np.float32)
+            )
+            ur_j, dep_j = stereo.stereo_match(
+                feats, feats_r, self.cam.bf,
+                jnp.float32(float(np.asarray(self.cam.baseline))),
+                sf,
+            )
+            ur = np.asarray(ur_j)
+            dep = np.asarray(dep_j)
+        elif depth_map is not None:
             # RGB-D: read depth at raw keypoint locations, derive virtual
             # right coordinate (†Frame::ComputeStereoFromRGBD)
             raw = np.asarray(feats.xy)
@@ -246,9 +263,10 @@ class Tracker:
 
     # ------------------------------------------------------------------
     def track(self, img: np.ndarray, timestamp: float,
-              depth_map: Optional[np.ndarray] = None) -> Optional[np.ndarray]:
+              depth_map: Optional[np.ndarray] = None,
+              right_img: Optional[np.ndarray] = None) -> Optional[np.ndarray]:
         """Process one frame; returns Tcw when tracked (else None)."""
-        frame = self._make_frame(img, timestamp, depth_map)
+        frame = self._make_frame(img, timestamp, depth_map, right_img)
         new_kf = None
 
         if self.state == TrackingState.NO_IMAGES_YET:
@@ -262,7 +280,10 @@ class Tracker:
             if ok:
                 self.state = TrackingState.OK
         else:
-            ok = self._track_frame(frame)
+            if self.state == TrackingState.LOST:
+                ok = self._relocalize(frame)
+            else:
+                ok = self._track_frame(frame)
             if ok:
                 self.state = TrackingState.OK
                 if self._need_new_keyframe(frame):
@@ -275,6 +296,8 @@ class Tracker:
         if self.last_frame is not None and frame.Tcw is not None and \
                 self.last_frame.Tcw is not None:
             self.velocity = frame.Tcw @ np.linalg.inv(self.last_frame.Tcw)
+        elif frame.Tcw is None:
+            self.velocity = None  # motion model invalid across a loss
         self.last_frame = frame
         self.frame_id += 1
         self.pending_keyframe = new_kf
@@ -478,6 +501,64 @@ class Tracker:
         return True
 
     # ------------------------------------------------------------------
+    # Relocalization (†Tracking::Relocalization, SURVEY §3.5)
+    # ------------------------------------------------------------------
+    def _relocalize(self, frame: FrameData) -> bool:
+        if self.kfdb is None:
+            return False
+        from .ops import pnp  # local import avoids cycle at module load
+
+        m = self.map
+        qbow = self.kfdb.compute_bow(frame.desc, frame.valid)
+        candidates = self.kfdb.detect_relocalization_candidates(qbow)
+        for cand in candidates[:5]:
+            # BoW-style match: frame features vs candidate KF's map points
+            has = m.kf_feat_valid[cand] & (m.kf_mp[cand] >= 0)
+            res = matching.match_descriptors(
+                jnp.asarray(frame.desc), jnp.asarray(m.kf_desc[cand]),
+                jnp.asarray(frame.valid), jnp.asarray(has),
+                max_dist=matching.TH_LOW, nn_ratio=0.75, mutual=True,
+            )
+            rv = np.asarray(res.valid)
+            if rv.sum() < 15:
+                continue
+            fidx = np.where(rv)[0]
+            kidx = np.asarray(res.idx)[fidx]
+            mps = m.kf_mp[cand, kidx]
+            live = m.mp_valid[mps]
+            fidx, mps = fidx[live], mps[live]
+            if len(fidx) < 15:
+                continue
+            N = len(fidx)
+            sf = self.cfg.extractor.scale_factor
+            samples = self._rng.integers(0, N, size=(256, pnp.SAMPLE_SIZE)).astype(np.int32)
+            pr = pnp.pnp_ransac(
+                self.cam, jnp.asarray(m.mp_pos[mps]),
+                jnp.asarray(frame.xy[fidx].astype(np.float32)),
+                jnp.asarray(sf ** (2.0 * frame.octave[fidx].astype(np.float32))),
+                jnp.ones(N, bool), jnp.asarray(samples),
+            )
+            if not bool(pr.ok):
+                continue
+            # refine + top-up against the candidate's local map
+            self.ref_kf = cand
+            sel, buf = self._gather_local_points()
+            opt, mp2kp, mvalid = self._run_track_kernel(
+                frame, np.asarray(pr.Tcw), buf, 10.0, matching.TH_HIGH, 0.9
+            )
+            if int(opt.n_inliers) < self.cfg.tracking.min_inliers_after_reloc:
+                continue
+            frame.Tcw = np.asarray(opt.Tcw)
+            inl = np.asarray(opt.inliers)
+            kp_of_mp = np.asarray(mp2kp)
+            frame.mp[:] = -1
+            rows = np.where(inl)[0]
+            frame.mp[kp_of_mp[rows]] = sel[rows]
+            self.n_inliers_last = int(opt.n_inliers)
+            return True
+        return False
+
+    # ------------------------------------------------------------------
     # Keyframe policy (†Tracking::NeedNewKeyFrame, simplified gates)
     # ------------------------------------------------------------------
     def _need_new_keyframe(self, frame: FrameData) -> bool:
@@ -514,7 +595,10 @@ class Tracker:
         self.last_kf_frame_id = frame.frame_id
         return kf
 
-    def _spawn_depth_points(self, frame: FrameData, kf: int, max_new: int = 100):
+    def _spawn_depth_points(self, frame: FrameData, kf: int, max_new: int = 300):
+        # (reference caps at 100 close points; with depth available for every
+        # feature we spawn up to 300 so purely rotational motion onto
+        # newly-seen geometry keeps enough trackable points)
         m = self.map
         th_depth = self.cfg.camera.th_depth * float(np.asarray(self.cam.baseline))
         cand = np.where(
