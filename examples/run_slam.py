@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Dataset CLI runner — the reference's Examples/ binaries in one entry point.
+
+Usage (mirrors †Examples/*/ mono_tum / rgbd_tum / stereo_kitti etc.):
+
+  python examples/run_slam.py tum-mono    <settings.yaml> <sequence_dir>
+  python examples/run_slam.py tum-rgbd    <settings.yaml> <sequence_dir>
+  python examples/run_slam.py kitti-mono  <settings.yaml> <sequence_dir>
+  python examples/run_slam.py kitti-stereo <settings.yaml> <sequence_dir>
+  python examples/run_slam.py euroc-mono  <settings.yaml> <sequence_dir>
+  python examples/run_slam.py euroc-stereo <settings.yaml> <sequence_dir>
+
+Accepts the reference's YAML settings files unchanged. Writes
+CameraTrajectory.txt / KeyFrameTrajectory.txt (TUM format; KITTI format for
+kitti-*) and prints per-frame timing statistics like the reference mains.
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from orbslam2_tpu.config import load_config
+from orbslam2_tpu.system import SlamSystem
+from orbslam2_tpu.utils import datasets
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", choices=[
+        "tum-mono", "tum-rgbd", "kitti-mono", "kitti-stereo",
+        "euroc-mono", "euroc-stereo",
+    ])
+    ap.add_argument("settings")
+    ap.add_argument("sequence")
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--traj-out", default="CameraTrajectory.txt")
+    ap.add_argument("--kf-traj-out", default="KeyFrameTrajectory.txt")
+    ap.add_argument("--save-map", default="")
+    args = ap.parse_args()
+
+    sensor = {"mono": "monocular", "rgbd": "rgbd", "stereo": "stereo"}[
+        args.mode.split("-")[1]
+    ]
+    cfg = load_config(args.settings, sensor=sensor)
+    slam = SlamSystem(cfg)
+
+    times = []
+    n = 0
+    if args.mode == "tum-rgbd":
+        it = datasets.tum_rgbd_sequence(args.sequence, cfg.camera.depth_map_factor or 5000.0)
+        for ts, img, depth in it:
+            t0 = time.perf_counter()
+            slam.track_rgbd(img, depth, ts)
+            times.append(time.perf_counter() - t0)
+            n += 1
+            if args.max_frames and n >= args.max_frames:
+                break
+    elif args.mode == "tum-mono":
+        for ts, img in datasets.tum_mono_sequence(args.sequence):
+            t0 = time.perf_counter()
+            slam.track_monocular(img, ts)
+            times.append(time.perf_counter() - t0)
+            n += 1
+            if args.max_frames and n >= args.max_frames:
+                break
+    elif args.mode.startswith("kitti"):
+        stereo = args.mode.endswith("stereo")
+        for ts, left, right in datasets.kitti_sequence(args.sequence, stereo):
+            t0 = time.perf_counter()
+            if stereo:
+                slam.track_stereo(left, right, ts)
+            else:
+                slam.track_monocular(left, ts)
+            times.append(time.perf_counter() - t0)
+            n += 1
+            if args.max_frames and n >= args.max_frames:
+                break
+    else:  # euroc
+        stereo = args.mode.endswith("stereo")
+        for ts, left, right in datasets.euroc_sequence(args.sequence, stereo):
+            t0 = time.perf_counter()
+            if stereo and right is not None:
+                slam.track_stereo(left, right, ts)
+            else:
+                slam.track_monocular(left, ts)
+            times.append(time.perf_counter() - t0)
+            n += 1
+            if args.max_frames and n >= args.max_frames:
+                break
+
+    slam.shutdown()
+    # †Examples mains print median/mean tracking time at exit
+    ts_sorted = sorted(times)
+    print(f"frames: {n}")
+    if n:
+        print(f"median tracking time: {ts_sorted[n // 2]*1000:.2f} ms")
+        print(f"mean tracking time:   {np.mean(times)*1000:.2f} ms")
+    if args.mode.startswith("kitti"):
+        slam.save_trajectory_kitti(args.traj_out)
+    else:
+        slam.save_trajectory_tum(args.traj_out)
+    slam.save_keyframe_trajectory_tum(args.kf_traj_out)
+    if args.save_map:
+        slam.save_map(args.save_map)
+        print(f"map saved to {args.save_map}")
+
+
+if __name__ == "__main__":
+    main()

@@ -240,6 +240,8 @@ class LocalMapper:
             ridx = np.asarray(res.idx)
             for row in np.where(rv)[0]:
                 mp = int(sel[row])
+                if not m.mp_valid[mp]:
+                    continue  # replaced away by an earlier fuse row
                 feat = int(ridx[row])
                 existing = int(m.kf_mp[dst, feat])
                 if existing >= 0 and m.mp_valid[existing]:

@@ -133,6 +133,33 @@ class SlamSystem:
                     f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}\n"
                 )
 
+    # ------------------------------------------------------------------
+    # Map persistence (capability the reference lacks — SURVEY §5.4)
+    # ------------------------------------------------------------------
+    def save_map(self, path: str):
+        from .utils.checkpoint import save_map
+
+        save_map(path, self.map, self.kfdb)
+
+    def load_map(self, path: str, localization_only: bool = True):
+        """Load a saved map; by default enter localization-only mode with
+        tracking set LOST so the next frame relocalizes against it."""
+        from .utils.checkpoint import load_map
+        from .tracking import TrackingState
+
+        self.map = load_map(path, self.cfg, self.kfdb)
+        self.tracker.map = self.map
+        self.local_mapper.map = self.map
+        if self.loop_closer is not None:
+            self.loop_closer.map = self.map
+        self.kfdb.map = self.map
+        if localization_only:
+            self.activate_localization_mode()
+        self.tracker.state = TrackingState.LOST
+        self.tracker.ref_kf = int(self.map.valid_keyframes()[0]) if len(
+            self.map.valid_keyframes()
+        ) else -1
+
     def save_trajectory_kitti(self, path: str):
         """Row-major 3x4 Twc per line (KITTI format)."""
         with open(path, "w") as f:
