@@ -21,7 +21,8 @@ from .tracking import Tracker, TrackingState
 
 
 class SlamSystem:
-    def __init__(self, cfg: SlamConfig, enable_loop_closing: bool = True):
+    def __init__(self, cfg: SlamConfig, enable_loop_closing: bool = True,
+                 metrics_path: Optional[str] = None):
         self.cfg = cfg
         self.map = MapState.allocate(cfg)
         from .map.keyframe_database import KeyFrameDatabase
@@ -34,6 +35,19 @@ class SlamSystem:
             if enable_loop_closing else None
         self.localization_only = False
         self._finished = False
+        if metrics_path:
+            from .utils.telemetry import MetricsLog
+
+            self.tracker.metrics_log = MetricsLog(metrics_path)
+
+    def render_snapshot(self, path: str, title: str = ""):
+        """Export a top-down map/trajectory PNG (the viewer replacement)."""
+        from .utils.telemetry import render_map_snapshot
+
+        traj = np.stack(
+            [np.linalg.inv(T)[:3, 3] for _, _, T in self.tracker.trajectory]
+        ) if self.tracker.trajectory else None
+        render_map_snapshot(self.map, path, trajectory=traj, title=title)
 
     # ------------------------------------------------------------------
     # Tracking entry points
@@ -68,9 +82,11 @@ class SlamSystem:
     # ------------------------------------------------------------------
     def activate_localization_mode(self):
         self.localization_only = True
+        self.tracker.localization_only = True
 
     def deactivate_localization_mode(self):
         self.localization_only = False
+        self.tracker.localization_only = False
 
     @property
     def tracking_state(self) -> TrackingState:

@@ -206,6 +206,8 @@ class Tracker:
         # trajectory log: (frame_id, timestamp, Tcw) for every tracked frame
         self.trajectory: List[Tuple[int, float, np.ndarray]] = []
         self.metrics: List[dict] = []
+        self.metrics_log = None  # optional utils.telemetry.MetricsLog
+        self.localization_only = False  # no keyframes / no map growth
 
     # ------------------------------------------------------------------
     def _make_frame(self, img: np.ndarray, timestamp: float,
@@ -266,6 +268,7 @@ class Tracker:
               depth_map: Optional[np.ndarray] = None,
               right_img: Optional[np.ndarray] = None) -> Optional[np.ndarray]:
         """Process one frame; returns Tcw when tracked (else None)."""
+        t_start = __import__("time").perf_counter()
         frame = self._make_frame(img, timestamp, depth_map, right_img)
         new_kf = None
 
@@ -286,7 +289,7 @@ class Tracker:
                 ok = self._track_frame(frame)
             if ok:
                 self.state = TrackingState.OK
-                if self._need_new_keyframe(frame):
+                if not self.localization_only and self._need_new_keyframe(frame):
                     new_kf = self._create_keyframe(frame)
             else:
                 self.state = TrackingState.LOST
@@ -301,6 +304,16 @@ class Tracker:
         self.last_frame = frame
         self.frame_id += 1
         self.pending_keyframe = new_kf
+        if self.metrics_log is not None:
+            self.metrics_log.emit(
+                frame=frame.frame_id,
+                state=self.state.name,
+                inliers=self.n_inliers_last,
+                kf=new_kf if new_kf is not None else -1,
+                track_ms=round(
+                    (__import__("time").perf_counter() - t_start) * 1000, 2
+                ),
+            )
         return frame.Tcw
 
     # ------------------------------------------------------------------
