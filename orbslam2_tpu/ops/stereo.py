@@ -62,8 +62,63 @@ def stereo_match(
     return ur, depth
 
 
-def stereo_depth_for_tracker(left_img, right_img, cam, extr_cfg):
-    """Legacy dense-map shim (unused by the tracker's native stereo path)."""
-    raise NotImplementedError(
-        "use Tracker's right_img path; dense stereo depth is not provided"
-    )
+SAD_W = 5      # half window (11x11, †ComputeStereoMatches w=5)
+SAD_L = 5      # disparity search half range (+-5 px)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def subpixel_refine(
+    left_img: jnp.ndarray,
+    right_img: jnp.ndarray,
+    xy_l: jnp.ndarray,    # (N, 2) left keypoint coords (level-0 ints ok)
+    ur0: jnp.ndarray,     # (N,) integer right-x from descriptor matching
+    valid: jnp.ndarray,   # (N,)
+    bf: jnp.ndarray,
+):
+    """Subpixel disparity via an 11x11 SAD scan + parabola fit
+    (†ComputeStereoMatches ≈ the sliding-window block): returns refined
+    (ur, depth).
+
+    TPU formulation: one flat gather of the left 11x11 patch and one of a
+    (11, 11+2*SAD_L) right strip per keypoint; the 11 SAD values come from a
+    vectorized sliding difference over the strip; parabola interpolation
+    gives the sub-pixel offset.
+    """
+    H, W = left_img.shape
+    N = xy_l.shape[0]
+    xl = jnp.round(xy_l[:, 0]).astype(jnp.int32)
+    yl = jnp.round(xy_l[:, 1]).astype(jnp.int32)
+    xr = jnp.round(ur0).astype(jnp.int32)
+
+    offs = jnp.arange(-SAD_W, SAD_W + 1)                       # (11,)
+    rows = jnp.clip(yl[:, None] + offs[None, :], 0, H - 1)     # (N, 11)
+    lcols = jnp.clip(xl[:, None] + offs[None, :], 0, W - 1)
+    flat_l = left_img.reshape(-1)
+    Lp = flat_l[rows[:, :, None] * W + lcols[:, None, :]]      # (N, 11, 11)
+
+    strip_offs = jnp.arange(-SAD_W - SAD_L, SAD_W + SAD_L + 1)  # (21,)
+    rcols = jnp.clip(xr[:, None] + strip_offs[None, :], 0, W - 1)
+    flat_r = right_img.reshape(-1)
+    Rs = flat_r[rows[:, :, None] * W + rcols[:, None, :]]      # (N, 11, 21)
+
+    # 11 candidate shifts d in [-5, 5]: SAD_d = sum |Lp - Rs[:, :, d:d+11]|
+    sads = []
+    for d in range(2 * SAD_L + 1):
+        sads.append(jnp.sum(jnp.abs(Lp - Rs[:, :, d : d + 2 * SAD_W + 1]),
+                            axis=(1, 2)))
+    sad = jnp.stack(sads, axis=1)                              # (N, 11)
+    best = jnp.argmin(sad, axis=1)
+    b_in = jnp.clip(best, 1, 2 * SAD_L - 1)                    # parabola-safe
+    s0 = jnp.take_along_axis(sad, b_in[:, None], 1)[:, 0]
+    sm = jnp.take_along_axis(sad, (b_in - 1)[:, None], 1)[:, 0]
+    sp = jnp.take_along_axis(sad, (b_in + 1)[:, None], 1)[:, 0]
+    denom = sm - 2.0 * s0 + sp
+    delta = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (sm - sp) / denom, 0.0)
+    delta = jnp.clip(delta, -1.0, 1.0)
+    # refined right coordinate (†: reject if correction runs off the scan)
+    ur = xr.astype(jnp.float32) + (b_in - SAD_L).astype(jnp.float32) + delta
+    disp = xy_l[:, 0] - ur
+    ok = valid & (disp > 0.05)
+    depth = jnp.where(ok, bf / jnp.maximum(disp, 0.05), -1.0)
+    ur = jnp.where(ok, ur, -1.0)
+    return ur, depth

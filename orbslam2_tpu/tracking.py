@@ -234,6 +234,10 @@ class Tracker:
                 jnp.float32(float(np.asarray(self.cam.baseline))),
                 sf,
             )
+            ur_j, dep_j = stereo.subpixel_refine(
+                jnp.asarray(img, jnp.float32), jnp.asarray(right_img, jnp.float32),
+                feats.xy, ur_j, dep_j > 0, self.cam.bf,
+            )
             ur = np.asarray(ur_j)
             dep = np.asarray(dep_j)
         elif depth_map is not None:

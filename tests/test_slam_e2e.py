@@ -24,7 +24,8 @@ def _cfg(sensor):
         sensor=sensor,
         camera=CameraConfig(
             fx=260, fy=260, cx=160, cy=120, width=W, height=H,
-            bf=26.0 if sensor != "monocular" else 0.0, fps=30,
+            bf=(52.0 if sensor == "stereo" else 26.0) if sensor != "monocular" else 0.0,
+            fps=30,
         ),
         extractor=ExtractorConfig(n_features=500, n_levels=4),
     )
@@ -104,3 +105,27 @@ class TestMonoPipeline:
         # can re-run after reset
         for i, img in enumerate(frames[:5]):
             slam.track_monocular(img, i / 30.0)
+
+
+class TestStereoPipeline:
+    def test_tracks_and_ate(self):
+        from orbslam2_tpu.utils.synthetic import make_box_room, render, orbit_trajectory
+
+        planes = make_box_room(seed=0)
+        n = 30
+        poses = orbit_trajectory(n)
+        baseline = 0.2  # bf = 52 => b = 52/260 (EuRoC-class geometry)
+        T_off = np.eye(4, dtype=np.float32)
+        T_off[0, 3] = -baseline
+        slam = SlamSystem(_cfg("stereo"))
+        est, gt = [], []
+        for i, Tcw in enumerate(poses):
+            left = render(planes, K, Tcw, W, H)
+            right = render(planes, K, T_off @ Tcw, W, H)
+            pose = slam.track_stereo(left, right, i / 30.0)
+            if pose is not None:
+                est.append(np.linalg.inv(pose)[:3, 3])
+                gt.append(np.linalg.inv(Tcw)[:3, 3])
+        assert len(est) >= n - 2, len(est)
+        err = ate_rmse(np.array(est), np.array(gt), with_scale=False)
+        assert err < 0.06, err
