@@ -208,6 +208,7 @@ class Tracker:
         self.metrics: List[dict] = []
         self.metrics_log = None  # optional utils.telemetry.MetricsLog
         self.localization_only = False  # no keyframes / no map growth
+        self.mapping_busy = lambda: False  # async back-pressure hook
 
     # ------------------------------------------------------------------
     def _make_frame(self, img: np.ndarray, timestamp: float,
@@ -589,6 +590,8 @@ class Tracker:
         urgent = self.n_inliers_last < 40
         decayed = self.n_inliers_last < 0.75 * ref_tracked and since >= 3
         stale = since >= tcfg.max_frames_between_kf
+        if self.mapping_busy() and not urgent:
+            return False  # back-pressure (†SetAcceptKeyFrames handshake)
         return bool((stale or decayed or urgent) and self.n_inliers_last >= 15)
 
     def _create_keyframe(self, frame: FrameData) -> int:

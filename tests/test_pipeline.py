@@ -1,0 +1,33 @@
+"""Async mapping pipeline test: same accuracy, tracking thread never blocks."""
+
+import numpy as np
+import pytest
+
+from orbslam2_tpu.config import CameraConfig, ExtractorConfig, SlamConfig
+from orbslam2_tpu.pipeline import AsyncSlamSystem
+from orbslam2_tpu.utils.evaluation import ate_rmse
+from orbslam2_tpu.utils.synthetic import render_sequence
+
+K = np.array([[260.0, 0, 160], [0, 260, 120], [0, 0, 1]], np.float32)
+
+
+def test_async_rgbd_tracks():
+    frames, poses = render_sequence(30, K, width=320, height=240, with_depth=True)
+    cfg = SlamConfig(
+        sensor="rgbd",
+        camera=CameraConfig(fx=260, fy=260, cx=160, cy=120, width=320,
+                            height=240, bf=26.0, fps=30),
+        extractor=ExtractorConfig(n_features=500, n_levels=4),
+    )
+    slam = AsyncSlamSystem(cfg)
+    est, gt = [], []
+    for i, ((img, depth), T_true) in enumerate(zip(frames, poses)):
+        pose = slam.track_rgbd(img, depth, i / 30.0)
+        if pose is not None:
+            est.append(np.linalg.inv(pose)[:3, 3])
+            gt.append(np.linalg.inv(T_true)[:3, 3])
+    slam.shutdown()  # drains the queue
+    assert len(est) >= 28
+    err = ate_rmse(np.array(est), np.array(gt), with_scale=False)
+    assert err < 0.08, err
+    assert len(slam.map.valid_keyframes()) >= 3
