@@ -71,6 +71,7 @@ class LocalMapper:
         if run_ba:
             self.local_bundle_adjustment(kf)
         self._cull_keyframes(kf)
+        self.map.version += 1
 
     # ------------------------------------------------------------------
     # MapPointCulling (†LocalMapping::MapPointCulling, SURVEY §2.9)

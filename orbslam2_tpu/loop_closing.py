@@ -251,6 +251,7 @@ class LoopCloser:
             m.kf_pose[k] = np.asarray(geo.se3_from_sim3(jnp.asarray(corrected[k])))
 
         m.loop_edges.append((kf, loop_kf))
+        m.version += 1
 
         # --- essential-graph optimization over all keyframes
         self._optimize_essential_graph(kf, loop_kf, pre_poses, corrected)

@@ -73,6 +73,7 @@ class MapState:
     n_kf: int = 0                # monotone high-water marks
     n_mp: int = 0
     next_kf_id: int = 0
+    version: int = 0             # bumped on structural writes (gather caches)
 
     # ------------------------------------------------------------------
     @staticmethod

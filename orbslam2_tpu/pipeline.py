@@ -61,8 +61,6 @@ class AsyncMappingMixin:
         if getattr(self, "_worker", None) is None:
             return
         if drain:
-            self._kf_queue.join() if False else None
-            # wait for the queue to empty
             import time
 
             while not self._kf_queue.empty():

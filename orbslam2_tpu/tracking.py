@@ -429,8 +429,15 @@ class Tracker:
     # ------------------------------------------------------------------
     def _gather_local_points(self) -> Tuple[np.ndarray, dict]:
         """Local map = points observed by the reference KF's covisibility
-        neighborhood (†UpdateLocalPoints), padded to a fixed capacity."""
+        neighborhood (†UpdateLocalPoints), padded to a fixed capacity.
+
+        Cached on (ref_kf, map version): the gather + H2D only re-runs when
+        mapping actually changed the map (keyframe-rate, not frame-rate).
+        """
         m = self.map
+        key = (self.ref_kf, m.version)
+        if getattr(self, "_local_cache_key", None) == key:
+            return self._local_cache
         kfs = [self.ref_kf] + [int(k) for k in m.covisible_keyframes(self.ref_kf)]
         mp_ids = np.unique(m.kf_mp[kfs])
         mp_ids = mp_ids[(mp_ids >= 0)]
@@ -450,6 +457,8 @@ class Tracker:
             dmin=jnp.asarray(m.mp_dmin[sel]),
             dmax=jnp.asarray(m.mp_dmax[sel]),
         )
+        self._local_cache_key = key
+        self._local_cache = (sel, buf)
         return sel, buf
 
     def _run_track_kernel(self, frame, Tcw_pred, buf, radius, max_dist, nn_ratio,
@@ -611,6 +620,7 @@ class Tracker:
         if touched:
             m.update_point_attributes(np.asarray(touched))
         m.update_connections(kf)
+        m.version += 1
         self.ref_kf = kf
         self.last_kf_frame_id = frame.frame_id
         return kf
