@@ -143,11 +143,16 @@ def _build_and_solve(cam, poses, points, prob, valid_obs, use_huber, lam,
     b_l = jnp.einsum("mori,mor->mi", Jl * w[..., None, None], r)   # (M, 3)
     E_blk = jnp.einsum("mori,morj->moij", Jp_w, Jl)                # (M, O, 6, 3)
 
-    kf_flat = jnp.maximum(prob.obs_kf, 0).reshape(-1)
-    Hcc_e = jnp.einsum("mori,morj->moij", Jp_w, Jp).reshape(-1, 6, 6)
-    bc_e = jnp.einsum("mori,mor->moi", Jp_w, r).reshape(-1, 6)
-    H_cc = jax.ops.segment_sum(Hcc_e, kf_flat, num_segments=K)     # (K, 6, 6)
-    b_c = jax.ops.segment_sum(bc_e, kf_flat, num_segments=K)       # (K, 6)
+    # Camera-indexed reductions as one-hot matmuls: scatters serialize on
+    # TPU, the MXU does not. onehot is (M, O, K) with zero rows for invalid.
+    onehot = (
+        jnp.maximum(prob.obs_kf, 0)[..., None]
+        == jnp.arange(K, dtype=prob.obs_kf.dtype)[None, None, :]
+    ).astype(poses.dtype) * (prob.obs_kf >= 0)[..., None].astype(poses.dtype)
+    Hcc_e = jnp.einsum("mori,morj->moij", Jp_w, Jp)                # (M, O, 6, 6)
+    bc_e = jnp.einsum("mori,mor->moi", Jp_w, r)                    # (M, O, 6)
+    H_cc = jnp.einsum("mok,moij->kij", onehot, Hcc_e)              # (K, 6, 6)
+    b_c = jnp.einsum("mok,moi->ki", onehot, bc_e)                  # (K, 6)
 
     # Damped landmark-block inverses.
     lamI = 1e-9 + lam
@@ -157,22 +162,17 @@ def _build_and_solve(cam, poses, points, prob, valid_obs, use_huber, lam,
     D_inv = linalg_small.inv3x3(D_damped + 1e-8 * jnp.eye(3, dtype=D.dtype))
     D_inv = jnp.where(prob.point_valid[:, None, None], D_inv, 0.0)
 
-    # Schur complement S (dense) and reduced RHS.
-    O = prob.obs_kf.shape[1]
+    # Schur complement S (dense) and reduced RHS, via the same one-hot trick:
+    # S -= sum_m (sum_o1 onehot*ED)[m,k,i,c] . (sum_o2 onehot*E)[m,l,j,c]
     ED = jnp.einsum("moij,mjk->moik", E_blk, D_inv)                # (M, O, 6, 3)
-    S = jnp.zeros((K, K, 6, 6), dtype=poses.dtype)
-    # scatter the (o, o') cross terms — O^2 static scatter-adds
-    for o1 in range(O):
-        k1 = jnp.maximum(prob.obs_kf[:, o1], 0)
-        for o2 in range(O):
-            k2 = jnp.maximum(prob.obs_kf[:, o2], 0)
-            contrib = jnp.einsum("mik,mjk->mij", ED[:, o1], E_blk[:, o2])
-            S = S.at[k1, k2].add(-contrib)
+    P_blk = jnp.einsum("mok,moic->mkic", onehot, ED)               # (M, K, 6, 3)
+    Q_blk = jnp.einsum("mok,mojc->mkjc", onehot, E_blk)            # (M, K, 6, 3)
+    S = -jnp.einsum("mkic,mljc->klij", P_blk, Q_blk)               # (K, K, 6, 6)
     diag = jnp.arange(K)
     S = S.at[diag, diag].add(H_cc)
 
-    b_S = b_c - jax.ops.segment_sum(
-        jnp.einsum("moij,mj->moi", ED, b_l).reshape(-1, 6), kf_flat, num_segments=K
+    b_S = b_c - jnp.einsum(
+        "mok,moij,mj->ki", onehot, ED, b_l
     )
 
     if axis_name is not None:
@@ -202,7 +202,7 @@ def _build_and_solve(cam, poses, points, prob, valid_obs, use_huber, lam,
     dc = jnp.where(prob.opt_mask[:, None], dc, 0.0)
 
     # Back-substitute landmarks: dl = -D^-1 (b_l + sum_o E^T dc_k)
-    dc_per_obs = dc[jnp.maximum(prob.obs_kf, 0)]                   # (M, O, 6)
+    dc_per_obs = jnp.einsum("mok,ki->moi", onehot, dc)             # (M, O, 6)
     Et_dc = jnp.einsum("moij,moi->mj", E_blk, dc_per_obs)          # (M, 3)
     dl = -jnp.einsum("mij,mj->mi", D_inv, b_l + Et_dc)
     dl = jnp.where(prob.point_valid[:, None], dl, 0.0)
