@@ -596,7 +596,7 @@ class Tracker:
         # decaying vs the reference KF. Our pipeline is synchronous, so the
         # "local mapping idle" condition becomes a minimum 3-frame spacing
         # unless tracking is about to be lost.
-        urgent = self.n_inliers_last < 40
+        urgent = self.n_inliers_last < 60
         decayed = self.n_inliers_last < 0.75 * ref_tracked and since >= 3
         stale = since >= tcfg.max_frames_between_kf
         if self.mapping_busy() and not urgent:
@@ -625,7 +625,7 @@ class Tracker:
         self.last_kf_frame_id = frame.frame_id
         return kf
 
-    def _spawn_depth_points(self, frame: FrameData, kf: int, max_new: int = 300):
+    def _spawn_depth_points(self, frame: FrameData, kf: int, max_new: int = 500):
         # (reference caps at 100 close points; with depth available for every
         # feature we spawn up to 300 so purely rotational motion onto
         # newly-seen geometry keeps enough trackable points)
