@@ -65,6 +65,7 @@ class LocalMapper:
 
     # ------------------------------------------------------------------
     def process_keyframe(self, kf: int, run_ba: bool = True):
+        self.map.recycle_free_slots()
         self._cull_map_points(kf)
         self._create_new_points(kf)
         self._fuse_neighbors(kf)
@@ -81,8 +82,8 @@ class LocalMapper:
         keep: List[Tuple[int, int]] = []
         min_obs = 2 if self.cfg.sensor == "monocular" else 3
         for mp, born in self.recent_points:
-            if not m.mp_valid[mp]:
-                continue
+            if not m.mp_valid[mp] or m.mp_first_kf[mp] != born:
+                continue  # dead, or the slot was recycled for a new point
             age = current_kf - born
             found_ratio = m.mp_found[mp] / max(m.mp_visible[mp], 1)
             if found_ratio < self.cfg.mapping.mp_cull_found_ratio:

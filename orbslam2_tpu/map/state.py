@@ -69,6 +69,8 @@ class MapState:
     covis_w: np.ndarray          # (K, C) i32 shared-point weights
     span_parent: np.ndarray      # (K,) i32 spanning-tree parent (-1 root)
     loop_edges: List[Tuple[int, int]] = field(default_factory=list)
+    free_mp: List[int] = field(default_factory=list)  # allocatable slots
+    free_mp_pending: List[int] = field(default_factory=list)  # grace period
 
     n_kf: int = 0                # monotone high-water marks
     n_mp: int = 0
@@ -157,9 +159,18 @@ class MapState:
     # Map points
     # ------------------------------------------------------------------
     def add_map_point(self, pos: np.ndarray, ref_kf: int) -> int:
-        m = self.n_mp
-        if m >= self.mp_valid.shape[0]:
-            raise RuntimeError("map-point capacity exhausted — raise max_map_points")
+        """Allocate a point slot, recycling culled slots first (long runs
+        churn points heavily; a monotone high-water mark would exhaust the
+        capacity even though the live set stays small)."""
+        if self.free_mp:
+            m = self.free_mp.pop()
+        else:
+            m = self.n_mp
+            if m >= self.mp_valid.shape[0]:
+                raise RuntimeError(
+                    "map-point capacity exhausted — raise max_map_points"
+                )
+            self.n_mp = m + 1
         self.mp_pos[m] = pos
         self.mp_valid[m] = True
         self.mp_ref_kf[m] = ref_kf
@@ -167,7 +178,11 @@ class MapState:
         self.mp_n_obs[m] = 0
         self.mp_visible[m] = 1
         self.mp_found[m] = 1
-        self.n_mp = m + 1
+        self.mp_obs_kf[m] = -1
+        self.mp_obs_feat[m] = -1
+        self.mp_normal[m] = 0.0
+        self.mp_dmin[m] = 0.0
+        self.mp_dmax[m] = np.inf
         return m
 
     def add_observation(self, mp: int, kf: int, feat: int):
@@ -209,6 +224,7 @@ class MapState:
             self.mp_obs_feat[mp, s] = -1
         self.mp_n_obs[mp] = 0
         self.mp_valid[mp] = False
+        self.free_mp_pending.append(int(mp))
 
     def replace_map_point(self, old: int, new: int):
         """MapPoint::Replace — rebind all observations of `old` to `new`."""
@@ -232,6 +248,7 @@ class MapState:
         self.mp_obs_feat[old] = -1
         self.mp_n_obs[old] = 0
         self.mp_valid[old] = False
+        self.free_mp_pending.append(int(old))
 
     # ------------------------------------------------------------------
     # Derived per-point attributes (†MapPoint::{ComputeDistinctiveDescriptors,
@@ -384,6 +401,14 @@ class MapState:
                 self.covis_w[other, p] = 0
         parent = self.span_parent[kf]
         self.span_parent[self.span_parent == kf] = parent
+
+    def recycle_free_slots(self):
+        """Promote pending slots to allocatable. Called once per keyframe
+        cycle: any stale reference (tracker frame match, async worker) from
+        the previous cycle has been dropped by then, so a recycled slot can
+        no longer be bound through a dangling id."""
+        self.free_mp.extend(self.free_mp_pending)
+        self.free_mp_pending = []
 
     # ------------------------------------------------------------------
     def valid_map_points(self) -> np.ndarray:

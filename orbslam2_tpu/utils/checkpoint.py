@@ -44,7 +44,8 @@ def load_map(path: str, cfg: SlamConfig, kfdb=None) -> MapState:
     data = np.load(path)
     m = MapState.allocate(cfg)
     for f in dataclasses.fields(m):
-        if f.name in ("cfg", "loop_edges") or f.name in _SCALARS:
+        if f.name in ("cfg", "loop_edges", "free_mp", "free_mp_pending") \
+                or f.name in _SCALARS:
             continue
         if f.name in data:
             tgt = getattr(m, f.name)
@@ -58,6 +59,9 @@ def load_map(path: str, cfg: SlamConfig, kfdb=None) -> MapState:
     for s in _SCALARS:
         setattr(m, s, int(data[s]))
     m.loop_edges = [tuple(int(x) for x in row) for row in data["loop_edges"]]
+    # reconstruct the recycled-slot free list from validity
+    m.free_mp = [int(i) for i in range(m.n_mp) if not m.mp_valid[i]]
+    m.free_mp_pending = []
     if kfdb is not None and "kfdb_bow" in data:
         kfdb.bow_mat = data["kfdb_bow"].copy()
         kfdb.in_db = data["kfdb_in_db"].copy()

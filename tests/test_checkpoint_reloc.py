@@ -94,3 +94,31 @@ class TestRelocalization:
                 assert err < 0.15, err
                 break
         assert recovered, "relocalization failed after blackout"
+
+
+class TestSlotRecycling:
+    def test_map_point_slots_reused(self):
+        from orbslam2_tpu.map.state import MapState
+
+        cfg = _cfg()
+        m = MapState.allocate(cfg)
+        k = m.add_keyframe(
+            np.eye(4, dtype=np.float32),
+            np.zeros((cfg.extractor.max_keypoints, 2), np.float32),
+            np.zeros((cfg.extractor.max_keypoints, 32), np.uint8),
+            np.zeros(cfg.extractor.max_keypoints, np.int32),
+            np.zeros(cfg.extractor.max_keypoints, np.float32),
+            np.ones(cfg.extractor.max_keypoints, bool), 0, 0.0,
+        )
+        ids = [m.add_map_point(np.zeros(3, np.float32), k) for _ in range(10)]
+        for mp in ids[:5]:
+            m.remove_map_point(mp)
+        # grace period: not reusable yet
+        nm_before = m.n_mp
+        fresh = m.add_map_point(np.zeros(3, np.float32), k)
+        assert fresh == nm_before
+        m.recycle_free_slots()
+        reused = m.add_map_point(np.ones(3, np.float32), k)
+        assert reused in ids[:5]
+        assert m.mp_valid[reused]
+        np.testing.assert_array_equal(m.mp_obs_kf[reused], -1)
