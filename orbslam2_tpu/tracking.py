@@ -39,21 +39,37 @@ class TrackingState(enum.Enum):
     LOST = 3
 
 
-@dataclass
 class FrameData:
-    """Host-side view of one processed frame."""
+    """One processed frame: device-resident features + lazy host views.
 
-    frame_id: int
-    timestamp: float
-    xy: np.ndarray        # (N, 2) undistorted level-0 coords
-    desc: np.ndarray      # (N, 32) u8
-    octave: np.ndarray    # (N,) i32
-    angle: np.ndarray     # (N,) f32
-    valid: np.ndarray     # (N,) bool
-    ur: np.ndarray        # (N,) f32 right-u (-1 mono)
-    depth: np.ndarray     # (N,) f32 (-1 unknown)
-    Tcw: Optional[np.ndarray] = None
-    mp: Optional[np.ndarray] = None  # (N,) i32 matched map point per feature
+    The frame-rate path (match + pose LM) consumes the device arrays
+    directly; the host numpy views (`frame.xy` etc.) materialize on first
+    access — which only happens at keyframe/initialization rate, so the
+    per-frame device->host traffic is a handful of scalars.
+    """
+
+    _FIELDS = ("xy", "desc", "octave", "angle", "valid", "ur", "depth")
+
+    def __init__(self, frame_id: int, timestamp: float, dev: dict, n: int):
+        self.frame_id = frame_id
+        self.timestamp = timestamp
+        self.dev = dev                       # jnp arrays per _FIELDS
+        self.Tcw: Optional[np.ndarray] = None
+        self.mp = np.full(n, -1, np.int32)   # matched map point per feature
+        self._host: dict = {}
+
+    def _pull(self, key: str) -> np.ndarray:
+        if key not in self._host:
+            self._host[key] = np.asarray(self.dev[key])
+        return self._host[key]
+
+    xy = property(lambda self: self._pull("xy"))
+    desc = property(lambda self: self._pull("desc"))
+    octave = property(lambda self: self._pull("octave"))
+    angle = property(lambda self: self._pull("angle"))
+    valid = property(lambda self: self._pull("valid"))
+    ur = property(lambda self: self._pull("ur"))
+    depth = property(lambda self: self._pull("depth"))
 
 
 # ---------------------------------------------------------------------------
@@ -215,13 +231,16 @@ class Tracker:
                     depth_map: Optional[np.ndarray] = None,
                     right_img: Optional[np.ndarray] = None) -> FrameData:
         feats = self.extractor(img)
-        xy = np.asarray(feats.xy)
+        xy_dev = feats.xy
         if self.cam.has_distortion:
-            xy = np.asarray(undistort_points(self.cam, feats.xy))
-        valid = np.asarray(feats.valid)
-        n = xy.shape[0]
-        ur = np.full(n, -1.0, np.float32)
-        dep = np.full(n, -1.0, np.float32)
+            xy_dev = undistort_points(self.cam, feats.xy)
+        n = feats.xy.shape[0]
+        dev = dict(
+            xy=xy_dev, desc=feats.desc, octave=feats.octave,
+            angle=feats.angle, valid=feats.valid,
+            ur=jnp.full((n,), -1.0, jnp.float32),
+            depth=jnp.full((n,), -1.0, jnp.float32),
+        )
         if right_img is not None:
             # stereo: extract right features and match along epipolar rows
             from .ops import stereo
@@ -235,38 +254,30 @@ class Tracker:
                 jnp.float32(float(np.asarray(self.cam.baseline))),
                 sf,
             )
-            ur_j, dep_j = stereo.subpixel_refine(
-                jnp.asarray(img, jnp.float32), jnp.asarray(right_img, jnp.float32),
+            dev["ur"], dev["depth"] = stereo.subpixel_refine(
+                jnp.asarray(img, jnp.float32),
+                jnp.asarray(right_img, jnp.float32),
                 feats.xy, ur_j, dep_j > 0, self.cam.bf,
             )
-            ur = np.asarray(ur_j)
-            dep = np.asarray(dep_j)
         elif depth_map is not None:
             # RGB-D: read depth at raw keypoint locations, derive virtual
-            # right coordinate (†Frame::ComputeStereoFromRGBD)
+            # right coordinate (†Frame::ComputeStereoFromRGBD). Host lookup:
+            # the depth map is already on the host.
             raw = np.asarray(feats.xy)
+            valid = np.asarray(feats.valid)
             xi = np.clip(np.round(raw[:, 0]).astype(int), 0, depth_map.shape[1] - 1)
             yi = np.clip(np.round(raw[:, 1]).astype(int), 0, depth_map.shape[0] - 1)
             d = depth_map[yi, xi].astype(np.float32)
             ok = valid & (d > 0)
             dep = np.where(ok, d, -1.0).astype(np.float32)
             bf = float(np.asarray(self.cam.bf))
-            ur = np.where(ok, xy[:, 0] - bf / np.maximum(d, 1e-6), -1.0).astype(
+            xy_h = np.asarray(xy_dev)
+            ur = np.where(ok, xy_h[:, 0] - bf / np.maximum(d, 1e-6), -1.0).astype(
                 np.float32
             )
-        fd = FrameData(
-            frame_id=self.frame_id,
-            timestamp=timestamp,
-            xy=xy,
-            desc=np.asarray(feats.desc),
-            octave=np.asarray(feats.octave),
-            angle=np.asarray(feats.angle),
-            valid=valid,
-            ur=ur,
-            depth=dep,
-            mp=np.full(n, -1, np.int32),
-        )
-        return fd
+            dev["ur"] = jnp.asarray(ur)
+            dev["depth"] = jnp.asarray(dep)
+        return FrameData(self.frame_id, timestamp, dev, n)
 
     # ------------------------------------------------------------------
     def track(self, img: np.ndarray, timestamp: float,
@@ -330,10 +341,9 @@ class Tracker:
             return False
         ref = self.init_ref
         res = match_frames_windowed(
-            jnp.asarray(ref.desc), jnp.asarray(ref.xy), jnp.asarray(ref.angle),
-            jnp.asarray(ref.valid), jnp.asarray(frame.desc),
-            jnp.asarray(frame.xy), jnp.asarray(frame.angle),
-            jnp.asarray(frame.valid), jnp.float32(100.0), nn_ratio=0.9,
+            ref.dev["desc"], ref.dev["xy"], ref.dev["angle"], ref.dev["valid"],
+            frame.dev["desc"], frame.dev["xy"], frame.dev["angle"],
+            frame.dev["valid"], jnp.float32(100.0), nn_ratio=0.9,
         )
         m_valid = np.asarray(res.valid)
         m_idx = np.asarray(res.idx)
@@ -468,9 +478,8 @@ class Tracker:
             self.cam, jnp.asarray(Tcw_pred),
             buf["pos"], buf["desc"], buf["valid"], buf["normal"],
             buf["dmin"], buf["dmax"],
-            jnp.asarray(frame.xy), jnp.asarray(frame.desc),
-            jnp.asarray(frame.octave), jnp.asarray(frame.valid),
-            jnp.asarray(frame.ur),
+            frame.dev["xy"], frame.dev["desc"],
+            frame.dev["octave"], frame.dev["valid"], frame.dev["ur"],
             jnp.float32(radius), jnp.float32(cfg.scale_factor), cfg.n_levels,
             max_dist=max_dist, nn_ratio=nn_ratio, do_pose_opt=do_pose_opt,
         )
