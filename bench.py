@@ -56,7 +56,7 @@ def main():
 
     def step(img_u8):
         feats = extractor._extract(cast(img_u8))
-        opt, idx, valid = track_against_points(
+        opt, idx, valid, packed = track_against_points(
             cam, Tcw, args["mp_pos"], args["mp_desc"], args["mp_valid"],
             args["mp_normal"], args["mp_dmin"], args["mp_dmax"],
             feats.xy, feats.desc, feats.octave, feats.valid, kp_ur,

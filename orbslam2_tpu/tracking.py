@@ -174,7 +174,16 @@ def track_against_points(
             n_inliers=jnp.sum(keep.astype(jnp.int32)),
             chi2=jnp.zeros_like(sigma2),
         )
-    return opt, jnp.where(keep, res.idx, -1), keep
+    # One packed result vector so the host needs a single D2H transfer per
+    # frame: [Tcw(16), n_inliers(1), inlier_mask(P), mp->kp idx(P), match(P)]
+    packed = jnp.concatenate([
+        opt.Tcw.reshape(-1),
+        opt.n_inliers.astype(jnp.float32)[None],
+        opt.inliers.astype(jnp.float32),
+        jnp.where(keep, res.idx, -1).astype(jnp.float32),
+        keep.astype(jnp.float32),
+    ])
+    return opt, jnp.where(keep, res.idx, -1), keep, packed
 
 
 @functools.partial(jax.jit, static_argnames=("nn_ratio",))
@@ -484,6 +493,17 @@ class Tracker:
             max_dist=max_dist, nn_ratio=nn_ratio, do_pose_opt=do_pose_opt,
         )
 
+    def _unpack(self, packed) -> Tuple[np.ndarray, int, np.ndarray, np.ndarray, np.ndarray]:
+        """Split the kernel's packed result (single D2H transfer)."""
+        p = np.asarray(packed)
+        P = self.local_point_cap
+        Tcw = p[:16].reshape(4, 4).astype(np.float32)
+        n_inl = int(p[16])
+        inl = p[17: 17 + P] > 0.5
+        kp_of_mp = p[17 + P: 17 + 2 * P].astype(np.int32)
+        mvalid = p[17 + 2 * P:] > 0.5
+        return Tcw, n_inl, inl, kp_of_mp, mvalid
+
     def _track_frame(self, frame: FrameData) -> bool:
         m = self.map
         sel, buf = self._gather_local_points()
@@ -500,35 +520,33 @@ class Tracker:
             )
             radius = 2.0 * self.cfg.tracking.motion_model_radius
 
-        opt, mp2kp, mvalid = self._run_track_kernel(
+        opt, _, _, packed = self._run_track_kernel(
             frame, Tcw_pred, buf, radius, matching.TH_HIGH, 0.9
         )
-        n_inl = int(opt.n_inliers)
+        Tcw1, n_inl, _, _, _ = self._unpack(packed)
         if n_inl < self.cfg.tracking.min_inliers_track:
             # retry with a wide radius (reference doubles th and retries)
-            opt, mp2kp, mvalid = self._run_track_kernel(
+            opt, _, _, packed = self._run_track_kernel(
                 frame, Tcw_pred, buf, 2 * radius, matching.TH_HIGH, 0.9
             )
-            n_inl = int(opt.n_inliers)
+            Tcw1, n_inl, _, _, _ = self._unpack(packed)
             if n_inl < self.cfg.tracking.min_inliers_track:
                 return False
 
         # --- track local map: re-match with tight radius at refined pose
-        opt2, mp2kp, mvalid = self._run_track_kernel(
-            frame, np.asarray(opt.Tcw), buf, 4.0, matching.TH_HIGH, 0.9
+        _, _, _, packed2 = self._run_track_kernel(
+            frame, Tcw1, buf, 4.0, matching.TH_HIGH, 0.9
         )
-        n_inl2 = int(opt2.n_inliers)
+        Tcw2, n_inl2, inl, kp_of_mp, mvalid = self._unpack(packed2)
         if n_inl2 < self.cfg.tracking.min_inliers_local_map:
             return False
 
-        frame.Tcw = np.asarray(opt2.Tcw)
-        inl = np.asarray(opt2.inliers)
-        kp_of_mp = np.asarray(mp2kp)
+        frame.Tcw = Tcw2
         frame.mp[:] = -1
         matched_rows = np.where(inl)[0]
         frame.mp[kp_of_mp[matched_rows]] = sel[matched_rows]
         # visibility statistics for culling
-        m.mp_visible[sel[np.asarray(mvalid)]] += 1
+        m.mp_visible[sel[mvalid]] += 1
         m.mp_found[sel[matched_rows]] += 1
         self.n_inliers_last = n_inl2
         self.metrics.append(
@@ -579,18 +597,17 @@ class Tracker:
             # refine + top-up against the candidate's local map
             self.ref_kf = cand
             sel, buf = self._gather_local_points()
-            opt, mp2kp, mvalid = self._run_track_kernel(
+            _, _, _, packed = self._run_track_kernel(
                 frame, np.asarray(pr.Tcw), buf, 10.0, matching.TH_HIGH, 0.9
             )
-            if int(opt.n_inliers) < self.cfg.tracking.min_inliers_after_reloc:
+            Tcw, n_inl, inl, kp_of_mp, _ = self._unpack(packed)
+            if n_inl < self.cfg.tracking.min_inliers_after_reloc:
                 continue
-            frame.Tcw = np.asarray(opt.Tcw)
-            inl = np.asarray(opt.inliers)
-            kp_of_mp = np.asarray(mp2kp)
+            frame.Tcw = Tcw
             frame.mp[:] = -1
             rows = np.where(inl)[0]
             frame.mp[kp_of_mp[rows]] = sel[rows]
-            self.n_inliers_last = int(opt.n_inliers)
+            self.n_inliers_last = n_inl
             return True
         return False
 
