@@ -186,6 +186,21 @@ def track_against_points(
     return opt, jnp.where(keep, res.idx, -1), keep, packed
 
 
+@jax.jit
+def _rgbd_virtual_right(depth_map, kp_xy_raw, kp_xy_undist, valid, bf):
+    """Sample the depth map at keypoint locations and derive the virtual
+    right coordinate (†Frame::ComputeStereoFromRGBD) — fully on device, so
+    the per-frame traffic is one H2D of the depth image and no D2H."""
+    H, W = depth_map.shape
+    xi = jnp.clip(jnp.round(kp_xy_raw[:, 0]).astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(jnp.round(kp_xy_raw[:, 1]).astype(jnp.int32), 0, H - 1)
+    d = depth_map.reshape(-1)[yi * W + xi]
+    ok = valid & (d > 0)
+    dep = jnp.where(ok, d, -1.0)
+    ur = jnp.where(ok, kp_xy_undist[:, 0] - bf / jnp.maximum(d, 1e-6), -1.0)
+    return ur, dep
+
+
 @functools.partial(jax.jit, static_argnames=("nn_ratio",))
 def match_frames_windowed(
     desc_a, xy_a, angle_a, valid_a, desc_b, xy_b, angle_b, valid_b, window,
@@ -269,23 +284,10 @@ class Tracker:
                 feats.xy, ur_j, dep_j > 0, self.cam.bf,
             )
         elif depth_map is not None:
-            # RGB-D: read depth at raw keypoint locations, derive virtual
-            # right coordinate (†Frame::ComputeStereoFromRGBD). Host lookup:
-            # the depth map is already on the host.
-            raw = np.asarray(feats.xy)
-            valid = np.asarray(feats.valid)
-            xi = np.clip(np.round(raw[:, 0]).astype(int), 0, depth_map.shape[1] - 1)
-            yi = np.clip(np.round(raw[:, 1]).astype(int), 0, depth_map.shape[0] - 1)
-            d = depth_map[yi, xi].astype(np.float32)
-            ok = valid & (d > 0)
-            dep = np.where(ok, d, -1.0).astype(np.float32)
-            bf = float(np.asarray(self.cam.bf))
-            xy_h = np.asarray(xy_dev)
-            ur = np.where(ok, xy_h[:, 0] - bf / np.maximum(d, 1e-6), -1.0).astype(
-                np.float32
+            dev["ur"], dev["depth"] = _rgbd_virtual_right(
+                jnp.asarray(depth_map, jnp.float32), feats.xy, xy_dev,
+                feats.valid, self.cam.bf,
             )
-            dev["ur"] = jnp.asarray(ur)
-            dev["depth"] = jnp.asarray(dep)
         return FrameData(self.frame_id, timestamp, dev, n)
 
     # ------------------------------------------------------------------
