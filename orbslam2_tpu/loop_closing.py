@@ -361,12 +361,31 @@ class LoopCloser:
     # ------------------------------------------------------------------
     # Global BA (†GlobalBundleAdjustemnt [sic])
     # ------------------------------------------------------------------
+    # size buckets bound the number of distinct compiled BA programs while
+    # avoiding silent truncation as the map grows (SURVEY §7.3.1)
+    _GBA_BUCKETS = ((32, 4096), (64, 8192), (128, 16384), (256, 32768))
+
     def global_bundle_adjustment(self, iters: Optional[int] = None,
-                                 max_kfs: int = 128, max_points: int = 8192,
-                                 obs_cap: int = 8):
+                                 max_kfs: Optional[int] = None,
+                                 max_points: Optional[int] = None,
+                                 obs_cap: int = 8,
+                                 use_mesh: bool = False):
         m = self.map
         cfg = self.cfg
         iters = iters or cfg.runtime.global_ba_iters
+        n_live_kf = len(m.valid_keyframes())
+        n_live_mp = len(m.valid_map_points())
+        if max_kfs is None or max_points is None:
+            for bk, bp in self._GBA_BUCKETS:
+                if n_live_kf <= bk and n_live_mp <= bp:
+                    max_kfs, max_points = bk, bp
+                    break
+            else:
+                max_kfs, max_points = self._GBA_BUCKETS[-1]
+                print(
+                    f"[global BA] map ({n_live_kf} KFs, {n_live_mp} pts) "
+                    f"exceeds largest bucket {self._GBA_BUCKETS[-1]}; truncating"
+                )
         kfs = [int(k) for k in m.valid_keyframes()][:max_kfs]
         if len(kfs) < 2:
             return
@@ -415,7 +434,18 @@ class LoopCloser:
             obs_kf=jnp.asarray(obs_kf_t), obs_uvr=jnp.asarray(obs_uvr),
             obs_sigma2=jnp.asarray(obs_s2), obs_valid=jnp.asarray(obs_val),
         )
-        res = ba.optimize_ba(cam=self.cam, prob=prob, iters=iters)
+        if use_mesh:
+            # multi-chip: landmark axis sharded over all devices, Schur
+            # system psum-reduced (†RunGlobalBundleAdjustment analog at scale)
+            import jax
+
+            from .parallel import sharded_ba
+
+            mesh = sharded_ba.make_landmark_mesh(jax.devices())
+            fn = sharded_ba.make_sharded_ba(mesh, iters=iters)
+            res = fn(self.cam, sharded_ba.shard_problem(mesh, prob))
+        else:
+            res = ba.optimize_ba(cam=self.cam, prob=prob, iters=iters)
         new_poses = np.asarray(res.poses)
         for k, w in kf_to_w.items():
             if opt_mask[w]:
