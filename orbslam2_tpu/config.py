@@ -57,6 +57,11 @@ class ExtractorConfig:
     # TPU-native additions: static padded keypoint capacity per frame. Must be
     # >= n_features; rounded to a multiple of 128 for clean MXU tiling.
     max_keypoints: int = 0  # 0 => auto = round_up(n_features, 128)
+    # Upright BRIEF: skip the intensity-centroid rotation of the descriptor.
+    # For rigs with negligible in-plane roll (wheeled, level handheld) this
+    # is strictly more discriminative — the IC angle is pure noise on
+    # weak-gradient patches. Default False = reference (rBRIEF) behavior.
+    upright: bool = False
 
     def __post_init__(self):
         if self.max_keypoints <= 0:

@@ -393,7 +393,8 @@ class OrbExtractor:
             )
             ang = ic_angles_conv(level_img, xy_i)
             blurred = img_ops.gaussian_blur(level_img)
-            desc = brief_descriptors_flat(blurred, xy_i, ang)
+            desc_ang = jnp.zeros_like(ang) if cfg.upright else ang
+            desc = brief_descriptors_flat(blurred, xy_i, desc_ang)
             scale = cfg.scale_factor ** lvl
             out_xy.append(xy_i.astype(jnp.float32) * scale)
             out_resp.append(resp)

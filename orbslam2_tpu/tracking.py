@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import enum
 import functools
-from dataclasses import dataclass, field
+import time
 from typing import List, Optional, Tuple
 
 import jax
@@ -295,7 +295,7 @@ class Tracker:
               depth_map: Optional[np.ndarray] = None,
               right_img: Optional[np.ndarray] = None) -> Optional[np.ndarray]:
         """Process one frame; returns Tcw when tracked (else None)."""
-        t_start = __import__("time").perf_counter()
+        t_start = time.perf_counter()
         frame = self._make_frame(img, timestamp, depth_map, right_img)
         new_kf = None
 
@@ -309,6 +309,10 @@ class Tracker:
                 ok = self._initialize_monocular(frame)
             if ok:
                 self.state = TrackingState.OK
+                # route the init keyframe through the mapping stage: its
+                # local BA over the two-view map is the reference's
+                # post-init GlobalBundleAdjustemnt(20) equivalent
+                new_kf = self.ref_kf
         else:
             if self.state == TrackingState.LOST:
                 ok = self._relocalize(frame)
@@ -337,9 +341,7 @@ class Tracker:
                 state=self.state.name,
                 inliers=self.n_inliers_last,
                 kf=new_kf if new_kf is not None else -1,
-                track_ms=round(
-                    (__import__("time").perf_counter() - t_start) * 1000, 2
-                ),
+                track_ms=round((time.perf_counter() - t_start) * 1000, 2),
             )
         return frame.Tcw
 

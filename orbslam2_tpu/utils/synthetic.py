@@ -26,14 +26,28 @@ class Plane:
 
 
 def _make_texture(rng, size=512, blur=1.2, contrast=1.0):
+    """Structured texture: band-limited noise + random rectangles/edges.
+
+    Pure blurred noise is isotropic — real indoor scenes have oriented
+    structure (posters, furniture edges), which is what makes the
+    intensity-centroid orientation stable. Mix both so the synthetic world
+    stresses the pipeline the way real footage does.
+    """
     t = rng.uniform(0, 1, size=(size, size)).astype(np.float32)
-    # separable box-ish blur to band-limit (keeps FAST corners plentiful)
     k = max(int(blur * 2) | 1, 3)
     kernel = np.exp(-0.5 * ((np.arange(k) - k // 2) / blur) ** 2)
     kernel /= kernel.sum()
     t = np.apply_along_axis(lambda r: np.convolve(r, kernel, "same"), 1, t)
     t = np.apply_along_axis(lambda c: np.convolve(c, kernel, "same"), 0, t)
     t = (t - t.min()) / max(t.max() - t.min(), 1e-9)
+    # overlay opaque random rectangles (sharp oriented edges + corners)
+    for _ in range(60):
+        h = int(rng.integers(8, 60))
+        w = int(rng.integers(8, 60))
+        y = int(rng.integers(0, size - h))
+        x = int(rng.integers(0, size - w))
+        shade = rng.uniform(0, 1)
+        t[y : y + h, x : x + w] = 0.7 * shade + 0.3 * t[y : y + h, x : x + w]
     return (20 + 215 * contrast * t).astype(np.float32)
 
 
