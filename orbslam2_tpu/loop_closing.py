@@ -319,9 +319,6 @@ class LoopCloser:
         fixed = np.zeros(K, bool)
         fixed[loop_kf] = True  # †loop KF fixed
 
-        pre_S = {k: np.asarray(geo.sim3_from_se3(jnp.asarray(p)))
-                 for k, p in pre_poses.items()}
-
         res = pose_graph.optimize_pose_graph(
             jnp.asarray(S_init), jnp.asarray(fixed), jnp.asarray(valid),
             jnp.asarray(np.asarray(ei, np.int32)),
@@ -333,18 +330,16 @@ class LoopCloser:
         )
         S_opt = np.asarray(res.poses)
 
-        # write back poses ([R t/s]) and transform points via reference KF
+        # write back poses ([R t/s]) and transform points via reference KF.
+        # S_old must be the pose set the points are CURRENTLY consistent with
+        # — i.e. S_init (entry state, which already includes the loop-group
+        # correction). Using pre-correction poses here would apply the
+        # correction to the loop group twice.
         mp_done = np.zeros(m.n_mp, bool)
         for k in np.where(valid)[0]:
             k = int(k)
-            # move points referenced to k: p' = S_new^-1 ( S_old p )
-            S_old = pre_S.get(k, None)
-            if S_old is None:
-                continue
-            corr = np.asarray(geo.sim3_compose(
-                geo.sim3_inverse(jnp.asarray(S_opt[k])), jnp.asarray(S_old)
-            ))
-            # note: this is applied in WORLD coords: p' = S_new^-1 S_old p
+            S_old = S_init[k]
+            # p' = S_new^-1 ( S_old p )  (both applied in world coords)
             mps = np.where((m.mp_ref_kf[: m.n_mp] == k) & m.mp_valid[: m.n_mp]
                            & ~mp_done[: m.n_mp])[0]
             if len(mps):

@@ -138,6 +138,24 @@ class TestLoopClosing:
         inj = np.linalg.norm(np.float32([0.04, 0.015, -0.03]) * last)
         assert err < 0.5 * inj, (err, inj)
 
+        # map consistency after correction: points must still reproject onto
+        # their observed features (guards against double-applying the
+        # correction during the essential-graph write-back)
+        errs = []
+        for kf in (0, last // 2, last):
+            T = m.kf_pose[kf]
+            feats = np.where(m.kf_mp[kf] >= 0)[0]
+            mps = m.kf_mp[kf, feats]
+            live = m.mp_valid[mps]
+            feats, mps = feats[live], mps[live]
+            pc = m.mp_pos[mps] @ T[:3, :3].T + T[:3, 3]
+            z = np.maximum(pc[:, 2], 1e-6)
+            u = 300 * pc[:, 0] / z + 160
+            v = 300 * pc[:, 1] / z + 120
+            e = np.hypot(u - m.kf_xy[kf, feats, 0], v - m.kf_xy[kf, feats, 1])
+            errs.append(np.median(e))
+        assert max(errs) < 5.0, errs
+
     def test_no_loop_without_revisit(self, rng):
         cfg, m, cam, _ = build_drifted_loop(rng, n_kf=8)
         kfdb = KeyFrameDatabase(m)
