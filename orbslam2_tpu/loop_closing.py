@@ -253,12 +253,69 @@ class LoopCloser:
         m.loop_edges.append((kf, loop_kf))
         m.version += 1
 
+        # --- fuse loop-side landmarks into the corrected group
+        # (†LoopClosing::SearchAndFuse, radius 4): duplicates created during
+        # drift are replaced by the older loop-side points
+        self._search_and_fuse(kf, loop_kf, group)
+
         # --- essential-graph optimization over all keyframes
         self._optimize_essential_graph(kf, loop_kf, pre_poses, corrected)
 
         # --- full-map BA (†RunGlobalBundleAdjustment, synchronous here)
         if run_global_ba:
             self.global_bundle_adjustment()
+
+    def _search_and_fuse(self, kf: int, loop_kf: int, group):
+        """Project loop-neighborhood landmarks into each corrected-group
+        keyframe and replace matched duplicates (loop point wins — it is the
+        older, drift-free geometry; †SearchAndFuse keeps pLoopMP)."""
+        from .local_mapping import _fuse_match
+
+        m = self.map
+        sf = self.cfg.extractor.scale_factor
+        loop_group = [loop_kf] + [int(x) for x in m.covisible_keyframes(loop_kf)]
+        mps = np.unique(m.kf_mp[loop_group])
+        mps = mps[mps >= 0]
+        mps = mps[m.mp_valid[mps]]
+        if len(mps) == 0:
+            return
+        P = 2048
+        sel = np.zeros(P, np.int64)
+        n = min(len(mps), P)
+        sel[:n] = mps[:n]
+        pv = np.zeros(P, bool)
+        pv[:n] = True
+        touched = set()
+        for dst in group:
+            if not m.kf_valid[dst]:
+                continue
+            res = _fuse_match(
+                jnp.asarray(m.mp_pos[sel]), jnp.asarray(m.mp_desc[sel]),
+                jnp.asarray(pv), jnp.asarray(m.kf_pose[dst]),
+                jnp.asarray(m.kf_xy[dst]), jnp.asarray(m.kf_desc[dst]),
+                jnp.asarray(m.kf_octave[dst]), jnp.asarray(m.kf_feat_valid[dst]),
+                self.cam, jnp.float32(sf), jnp.float32(4.0),
+            )
+            rv = np.asarray(res.valid)
+            ridx = np.asarray(res.idx)
+            for row in np.where(rv)[0]:
+                loop_mp = int(sel[row])
+                if not m.mp_valid[loop_mp]:
+                    continue
+                feat = int(ridx[row])
+                existing = int(m.kf_mp[dst, feat])
+                if existing >= 0 and m.mp_valid[existing]:
+                    if existing != loop_mp:
+                        m.replace_map_point(existing, loop_mp)
+                        touched.add(loop_mp)
+                else:
+                    m.add_observation(loop_mp, dst, feat)
+                    touched.add(loop_mp)
+        if touched:
+            m.update_point_attributes(np.fromiter(touched, dtype=np.int64))
+            for g in group:
+                if m.kf_valid[g]:
+                    m.update_connections(g)
 
     def _essential_edges(self, pre_poses):
         """Spanning tree + strong covisibility + loop edges (†OptimizeEssentialGraph)."""

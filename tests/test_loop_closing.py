@@ -156,6 +156,13 @@ class TestLoopClosing:
             errs.append(np.median(e))
         assert max(errs) < 5.0, errs
 
+        # SearchAndFuse replaced revisit duplicates with the original
+        # loop-side landmarks: the last keyframe now observes early points
+        last_mps = m.kf_mp[last][m.kf_mp[last] >= 0]
+        last_mps = last_mps[m.mp_valid[last_mps]]
+        n_orig = (m.mp_first_kf[last_mps] <= 3).sum()
+        assert n_orig >= 10, n_orig
+
     def test_no_loop_without_revisit(self, rng):
         cfg, m, cam, _ = build_drifted_loop(rng, n_kf=8)
         kfdb = KeyFrameDatabase(m)
