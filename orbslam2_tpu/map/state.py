@@ -23,6 +23,7 @@ Layout:
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
@@ -71,6 +72,13 @@ class MapState:
     loop_edges: List[Tuple[int, int]] = field(default_factory=list)
     free_mp: List[int] = field(default_factory=list)  # allocatable slots
     free_mp_pending: List[int] = field(default_factory=list)  # grace period
+
+    # Coarse mutation lock: tracking creates keyframes while the async
+    # mapping worker mutates the same tables; both paths run at keyframe
+    # rate, so one lock costs nothing and removes element-level races.
+    # Reads (tracking gathers) stay lock-free (stale-but-consistent-enough,
+    # same semantics the reference's fine-grained locks provide).
+    lock: threading.Lock = field(default_factory=threading.Lock)
 
     n_kf: int = 0                # monotone high-water marks
     n_mp: int = 0

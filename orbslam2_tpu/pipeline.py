@@ -48,9 +48,10 @@ class AsyncMappingMixin:
             if kf is None:
                 break
             try:
-                self.local_mapper.process_keyframe(kf)
-                if self.loop_closer is not None and self.map.kf_valid[kf]:
-                    self.loop_closer.process_keyframe(kf)
+                with self.map.lock:
+                    self.local_mapper.process_keyframe(kf)
+                    if self.loop_closer is not None and self.map.kf_valid[kf]:
+                        self.loop_closer.process_keyframe(kf)
             except Exception as e:  # surface, don't kill the worker silently
                 import traceback
 

@@ -635,6 +635,11 @@ class Tracker:
 
     def _create_keyframe(self, frame: FrameData) -> int:
         m = self.map
+        with m.lock:
+            return self._create_keyframe_locked(frame)
+
+    def _create_keyframe_locked(self, frame: FrameData) -> int:
+        m = self.map
         kf = m.add_keyframe(
             frame.Tcw.astype(np.float32), frame.xy, frame.desc, frame.octave,
             frame.angle, frame.valid, frame.frame_id, frame.timestamp,
