@@ -19,8 +19,12 @@ import numpy as np
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    profile_dir = os.environ.get("SLAM_BENCH_PROFILE", "")
 
     from orbslam2_tpu.config import ExtractorConfig
     from orbslam2_tpu.models.camera import Camera
@@ -69,11 +73,18 @@ def main():
     jax.block_until_ready(out)
 
     n = 100
+    if profile_dir:
+        # SLAM_BENCH_PROFILE=<dir> captures an XLA trace of the measured loop
+        # (SURVEY §5.1: the jax.profiler replaces the reference's chrono
+        # timing prints)
+        jax.profiler.start_trace(profile_dir)
     t0 = time.perf_counter()
     for i in range(n):
         out = step(frames[i % 4])
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
+    if profile_dir:
+        jax.profiler.stop_trace()
     fps = n / dt
 
     print(

@@ -69,6 +69,54 @@ class MetricsLog:
         return out
 
 
+class LiveViewer:
+    """Background snapshot writer — the Pangolin viewer thread analog.
+
+    Renders the map + trajectory to `<out_dir>/map_XXXX.png` every
+    `interval` seconds on a daemon thread, reading the map without locks
+    (same snapshot semantics as the reference's drawer copies).
+    """
+
+    def __init__(self, slam, out_dir: str, interval: float = 1.0):
+        import os
+        import threading
+
+        self.slam = slam
+        self.out_dir = out_dir
+        self.interval = interval
+        os.makedirs(out_dir, exist_ok=True)
+        self._stop = threading.Event()
+        self._n = 0
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="live-viewer")
+        self._thread.start()
+
+    def _run(self):
+        import os
+
+        while not self._stop.wait(self.interval):
+            try:
+                traj = None
+                if self.slam.tracker.trajectory:
+                    traj = np.stack([
+                        np.linalg.inv(T)[:3, 3]
+                        for _, _, T in self.slam.tracker.trajectory
+                    ])
+                render_map_snapshot(
+                    self.slam.map,
+                    os.path.join(self.out_dir, f"map_{self._n:04d}.png"),
+                    trajectory=traj,
+                    title=f"t={self._n * self.interval:.0f}s",
+                )
+                self._n += 1
+            except Exception:
+                pass  # rendering must never take down the system
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+
+
 def render_map_snapshot(slam_map, path: str, trajectory=None, title=""):
     """Top-down (x-z) map points + keyframe positions + trajectory -> PNG.
 
