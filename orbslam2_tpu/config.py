@@ -10,7 +10,6 @@ typed dataclass tree covering camera / frontend / mapping / loop / runtime.
 from __future__ import annotations
 
 import dataclasses
-import math
 import re
 from dataclasses import dataclass, field
 from typing import Any, Dict, Optional

@@ -10,7 +10,7 @@ single-writer MapState.
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ query's own covisible set.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 import jax.numpy as jnp

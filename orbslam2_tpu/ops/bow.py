@@ -18,7 +18,6 @@ to a deterministic random vocabulary — both options avoid the reference's
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -8,8 +8,7 @@ computed in Python at trace time from the config.
 
 from __future__ import annotations
 
-import math
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -195,11 +195,12 @@ def epipolar_gate(
 def fundamental_from_poses(
     K1: jnp.ndarray, K2: jnp.ndarray, T1w: jnp.ndarray, T2w: jnp.ndarray
 ) -> jnp.ndarray:
-    """F12 such that x2^T F12 x1 = 0 — wait: reference computes F12 with
-    x1^T F12 x2? We define: for kp1 in image 1 and kp2 in image 2,
-    line2 = F21 x1. This returns F21 = K2^-T [t21]x R21 K1^-1 mapping image-1
-    points to epipolar lines in image 2 (what `epipolar_gate` consumes as
-    F12 argument)."""
+    """Fundamental matrix from two camera poses.
+
+    Returns F21 = K2^-T [t21]x R21 K1^-1, which maps an image-1 point x1 to
+    its epipolar line in image 2 (x2^T F21 x1 = 0) — the form
+    `epipolar_gate` consumes (the reference builds the same matrix in
+    †KeyFrame-pair triangulation, ComputeF12)."""
     from . import geometry as geo
 
     T21 = T2w @ geo.se3_inverse(T1w)

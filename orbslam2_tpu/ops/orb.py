@@ -27,7 +27,6 @@ Everything returns fixed-capacity arrays with validity masks.
 from __future__ import annotations
 
 import functools
-import math
 from typing import List, NamedTuple, Tuple
 
 import jax

@@ -15,11 +15,8 @@ grows into the thousands.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

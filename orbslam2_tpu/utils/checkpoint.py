@@ -12,7 +12,6 @@ the keyframe database's BoW matrix and vocabulary.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import numpy as np
 

@@ -8,7 +8,7 @@ translational error, and relative pose error over a fixed delta.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

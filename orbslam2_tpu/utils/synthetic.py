@@ -10,7 +10,7 @@ plenty of corners and BRIEF distinctive patches.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import List
 
 import numpy as np
 
