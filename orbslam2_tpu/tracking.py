@@ -579,6 +579,8 @@ class Tracker:
         self.metrics.append(
             dict(frame=frame.frame_id, inliers=n_inl2, motion_inliers=n_inl)
         )
+        if len(self.metrics) > 100_000:  # bound memory on endless streams
+            del self.metrics[:50_000]
         return True
 
     # ------------------------------------------------------------------
