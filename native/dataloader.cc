@@ -82,8 +82,14 @@ bool decode_png(const uint8_t* buf, size_t len, Image& img) {
     const uint8_t* cdata = buf + pos + 8;
     if (pos + 12 + clen > len) return false;
     if (memcmp(ctype, "IHDR", 4) == 0) {
-      img.width = static_cast<int>(be32(cdata));
-      img.height = static_cast<int>(be32(cdata + 4));
+      uint32_t w32 = be32(cdata), h32 = be32(cdata + 4);
+      // reject non-positive / absurd dims before they drive size_t stride
+      // arithmetic from a negative int (corrupt or hostile file)
+      if (w32 == 0 || h32 == 0 || w32 > (1u << 15) || h32 > (1u << 15) ||
+          uint64_t(w32) * h32 > (1ull << 28))
+        return false;
+      img.width = static_cast<int>(w32);
+      img.height = static_cast<int>(h32);
       img.bit_depth = cdata[8];
       color_type = cdata[9];
       interlace = cdata[12];
@@ -275,8 +281,18 @@ void* dl_create(const char** paths, int n_paths, int n_workers, int window) {
 int dl_get(void* handle, int idx, float* out, int max_elems, int* w, int* h) {
   auto* p = static_cast<Prefetcher*>(handle);
   if (idx < 0 || idx >= int(p->paths.size())) return -1;
-  p->ensure_enqueued(std::min(idx + p->window, int(p->paths.size()) - 1));
   Slot& s = p->slots[idx];
+  {
+    // a consumed (or never-windowed) slot re-enqueues directly, so a
+    // repeated dl_get re-decodes instead of returning an empty buffer
+    std::lock_guard<std::mutex> lk(p->mu);
+    if (s.state.load() == 0) {
+      s.state.store(1);
+      p->work.push_back(idx);
+      p->cv.notify_all();
+    }
+  }
+  p->ensure_enqueued(std::min(idx + p->window, int(p->paths.size()) - 1));
   while (s.state.load(std::memory_order_acquire) < 2)
     std::this_thread::yield();
   if (s.state.load() == 3) return -1;
@@ -285,7 +301,8 @@ int dl_get(void* handle, int idx, float* out, int max_elems, int* w, int* h) {
   *h = s.height;
   memcpy(out, s.data.data(), s.data.size() * sizeof(float));
   s.data.clear();
-  s.data.shrink_to_fit();  // slot consumed; free memory
+  s.data.shrink_to_fit();
+  s.state.store(0, std::memory_order_release);  // consumed -> empty
   return 0;
 }
 

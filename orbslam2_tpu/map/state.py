@@ -324,9 +324,13 @@ class MapState:
         self.mp_ref_kf[mps] = obs_kf[np.arange(P), j]
         dist = np.linalg.norm(vec[np.arange(P), j], axis=1)
         level = self.kf_octave[kfs[np.arange(P), j], fts[np.arange(P), j]]
-        dmax = dist * (sf ** level.astype(np.float32)) * 1.2
+        # †MapPoint::UpdateNormalAndDepth: mfMaxDistance = dist * sf^level
+        # (UNscaled — the 0.8/1.2 margins live only in the frustum gate and
+        # PredictScale consumes the raw dmax; baking 1.2 in here biased the
+        # predicted pyramid level by exactly +1 and widened search radii)
+        dmax = dist * (sf ** level.astype(np.float32))
         self.mp_dmax[mps] = dmax
-        self.mp_dmin[mps] = dmax / (sf ** (n_levels - 1)) / 1.2
+        self.mp_dmin[mps] = dmax / (sf ** (n_levels - 1))
 
     # ------------------------------------------------------------------
     # Covisibility (†KeyFrame::UpdateConnections)
@@ -396,8 +400,8 @@ class MapState:
 
         Children are re-parented to the removed node's parent (simplified
         from the reference's best-covisible-parent search)."""
-        for feat in np.where(self.kf_mp[kf] >= 0)[0]:
-            mp = self.kf_mp[kf, feat]
+        touched = self.kf_mp[kf][self.kf_mp[kf] >= 0]
+        for mp in touched:
             self.erase_observation(int(mp), kf)
         self.kf_valid[kf] = False
         self.kf_feat_valid[kf] = False
@@ -409,6 +413,18 @@ class MapState:
                 self.covis_w[other, p] = 0
         parent = self.span_parent[kf]
         self.span_parent[self.span_parent == kf] = parent
+        # Re-anchor points whose reference KF was just culled: the
+        # essential-graph write-back selects points by mp_ref_kf, so a
+        # dangling ref would silently skip them during loop correction.
+        dangling = np.where(
+            self.mp_valid[: self.n_mp] & (self.mp_ref_kf[: self.n_mp] == kf)
+        )[0]
+        if len(dangling):
+            self.mp_ref_kf[dangling] = -1
+            self.update_point_attributes(dangling)
+            # points with zero live observations cannot be re-anchored
+            for mp in dangling[self.mp_ref_kf[dangling] < 0]:
+                self.remove_map_point(int(mp))
 
     def recycle_free_slots(self):
         """Promote pending slots to allocatable. Called once per keyframe

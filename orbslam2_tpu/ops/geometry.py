@@ -486,5 +486,6 @@ def triangulate_dlt(
     _, V = jnp.linalg.eigh(AtA)
     X = V[..., :, 0]  # eigenvector of smallest eigenvalue
     w = X[..., 3]
-    safe_w = jnp.where(jnp.abs(w) < _EPS, jnp.sign(w) * _EPS + _EPS, w)
+    # preserve the sign without cancellation (sign(w)*eps+eps == 0 for w<0)
+    safe_w = jnp.where(jnp.abs(w) < _EPS, jnp.where(w < 0, -_EPS, _EPS), w)
     return X[..., :3] / safe_w[..., None]

@@ -63,15 +63,17 @@ def masked_top2(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Best and second-best distance per row under a pair mask.
 
-    Returns (best_idx, best_dist, second_dist); masked-out pairs get INVALID.
+    Returns (best_idx, best_dist, second_dist, second_idx); masked-out pairs
+    get INVALID distances.
     """
     if pair_mask is not None:
         dist = jnp.where(pair_mask, dist, INVALID)
     best_idx = jnp.argmin(dist, axis=1)
     best = jnp.take_along_axis(dist, best_idx[:, None], axis=1)[:, 0]
     masked = dist.at[jnp.arange(dist.shape[0]), best_idx].set(INVALID)
-    second = jnp.min(masked, axis=1)
-    return best_idx.astype(jnp.int32), best, second
+    second_idx = jnp.argmin(masked, axis=1)
+    second = jnp.take_along_axis(masked, second_idx[:, None], axis=1)[:, 0]
+    return best_idx.astype(jnp.int32), best, second, second_idx.astype(jnp.int32)
 
 
 def rotation_consistency_mask(
@@ -114,6 +116,8 @@ def match_descriptors(
     angles_b: Optional[jnp.ndarray] = None,
     check_rotation: bool = False,
     mutual: bool = False,
+    octave_b: Optional[jnp.ndarray] = None,
+    ratio_same_level_only: bool = False,
 ) -> MatchResult:
     """The parameterized matcher all SearchBy* variants reduce to.
 
@@ -125,17 +129,27 @@ def match_descriptors(
       nn_ratio: best < ratio * second-best gate (1.0 disables).
       check_rotation: apply the 30-bin rotation-consistency filter.
       mutual: require A->B and B->A agreement (used by symmetric searches).
+      octave_b / ratio_same_level_only: apply the ratio gate only when the
+        two best candidates sit on the same pyramid level — the projection
+        tracker's semantics (†SearchByProjection(Frame, vector<MapPoint*>):
+        "if(bestLevel==bestLevel2 && bestDist>mfNNratio*bestDist2) continue").
     """
     dist = hamming_matrix(desc_a, desc_b)
     base = valid_a[:, None] & valid_b[None, :]
     mask = base if pair_mask is None else (base & pair_mask)
-    best_idx, best, second = masked_top2(dist, mask)
+    best_idx, best, second, second_idx = masked_top2(dist, mask)
 
     ok = (best <= max_dist) & valid_a
     if nn_ratio < 1.0:
-        ok = ok & (best.astype(jnp.float32) < nn_ratio * second.astype(jnp.float32))
+        ratio_ok = best.astype(jnp.float32) < nn_ratio * second.astype(
+            jnp.float32
+        )
+        if ratio_same_level_only and octave_b is not None:
+            same_lvl = octave_b[best_idx] == octave_b[second_idx]
+            ratio_ok = ratio_ok | ~same_lvl
+        ok = ok & ratio_ok
     if mutual:
-        bbest_idx, bbest, _ = masked_top2(dist.T, mask.T)
+        bbest_idx, bbest, _, _ = masked_top2(dist.T, mask.T)
         ok = ok & (bbest_idx[best_idx] == jnp.arange(desc_a.shape[0]))
     if check_rotation and angles_a is not None and angles_b is not None:
         ang_b = angles_b[best_idx]

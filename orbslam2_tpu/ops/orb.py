@@ -120,15 +120,16 @@ def detect_level(
 ):
     """Detect up to n_out FAST keypoints on one pyramid level.
 
-    Returns (xy_int (n_out, 2) int32 level coords, response (n_out,), valid).
+    Returns (xy_int (n_out, 2) int32 level coords, xy_sub (n_out, 2) float32
+    subpixel level coords, response (n_out,), valid).
     """
     H, W = img.shape
-    S = fast_score_map(img)
+    S_raw = fast_score_map(img)
     # Exclude the border band (keeps all later patch reads in-bounds).
     ys = jnp.arange(H)[:, None]
     xs = jnp.arange(W)[None, :]
     in_border = (ys >= border) & (ys < H - border) & (xs >= border) & (xs < W - border)
-    S = jnp.where(in_border, S, -1.0)
+    S = jnp.where(in_border, S_raw, -1.0)
 
     # 3x3 non-max suppression on the score map.
     nms = S >= _maxpool2d(S, 3)
@@ -176,7 +177,31 @@ def detect_level(
     cx = (cell_id % Wc) * CELL + within % CELL
     xy = jnp.stack([cx, cy], axis=-1).astype(jnp.int32)
     resp = vals.reshape(-1)[sel]
-    return xy, jnp.where(sel_valid, resp, 0.0), sel_valid
+
+    # Subpixel refinement: 1D parabola per axis on the raw score map (the
+    # 3x3 NMS guarantees the center dominates its neighbors, so the fitted
+    # offset stays in [-0.5, 0.5]). Integer coords quantize to a full pixel
+    # at the coarse pyramid levels once scaled back to level 0 — measured
+    # recall/accuracy lever (VERDICT round-1 item 1).
+    cyc = jnp.clip(cy, 1, H - 2)
+    cxc = jnp.clip(cx, 1, W - 2)
+    Sf = S_raw.reshape(-1)
+
+    def at(dy, dx):
+        return Sf[(cyc + dy) * W + (cxc + dx)]
+
+    c0 = at(0, 0)
+    dxo = _parabola(at(0, -1), c0, at(0, 1))
+    dyo = _parabola(at(-1, 0), c0, at(1, 0))
+    xy_sub = xy.astype(jnp.float32) + jnp.stack([dxo, dyo], axis=-1)
+    return xy, xy_sub, jnp.where(sel_valid, resp, 0.0), sel_valid
+
+
+def _parabola(l, c, r):
+    """Vertex offset of the parabola through (-1,l),(0,c),(1,r), clamped."""
+    den = 2.0 * c - l - r
+    off = jnp.where(den > 1e-6, 0.5 * (r - l) / jnp.maximum(den, 1e-6), 0.0)
+    return jnp.clip(off, -0.5, 0.5)
 
 
 # ---------------------------------------------------------------------------
@@ -198,9 +223,22 @@ def _ic_weight_tables() -> Tuple[np.ndarray, np.ndarray]:
 
 @functools.lru_cache()
 def _brief_pattern(seed: int = 42) -> Tuple[np.ndarray, np.ndarray]:
-    """256 deterministic test pairs, each point ~ N(0, (31/5)^2) clipped to
-    the 31x31 patch (BRIEF G-II sampling; replaces the learned
-    bit_pattern_31_ table, which we deliberately do not copy)."""
+    """256 test pairs for steered BRIEF, each point in the 31x31 patch.
+
+    Default: the decorrelated pattern learned by tools/train_brief_pattern.py
+    (the rBRIEF greedy procedure re-run on our own synthetic patches — the
+    reference's learned bit_pattern_31_ table is deliberately NOT copied).
+    Falls back to seeded-Gaussian BRIEF-G-II sampling if the asset is absent
+    or SLAM_BRIEF_PATTERN=random.
+    """
+    import os
+
+    asset = os.path.join(os.path.dirname(__file__), "..", "assets",
+                         "brief_pattern.npz")
+    if os.environ.get("SLAM_BRIEF_PATTERN", "") != "random" and \
+            os.path.exists(asset):
+        data = np.load(asset)
+        return data["pa"].astype(np.int32), data["pb"].astype(np.int32)
     rng = np.random.default_rng(seed)
     pts = rng.normal(0.0, 31.0 / 5.0, size=(256, 2, 2))
     pts = np.clip(np.round(pts), -13, 13).astype(np.int32)
@@ -387,7 +425,7 @@ class OrbExtractor:
         for lvl, (level_img, n_l) in enumerate(zip(levels, self.budgets)):
             if n_l <= 0:
                 continue
-            xy_i, resp, valid = detect_level(
+            xy_i, xy_sub, resp, valid = detect_level(
                 level_img, n_l, float(cfg.ini_th_fast), float(cfg.min_th_fast)
             )
             ang = ic_angles_conv(level_img, xy_i)
@@ -395,7 +433,7 @@ class OrbExtractor:
             desc_ang = jnp.zeros_like(ang) if cfg.upright else ang
             desc = brief_descriptors_flat(blurred, xy_i, desc_ang)
             scale = cfg.scale_factor ** lvl
-            out_xy.append(xy_i.astype(jnp.float32) * scale)
+            out_xy.append(xy_sub * scale)
             out_resp.append(resp)
             out_ang.append(ang)
             out_oct.append(jnp.full((n_l,), lvl, jnp.int32))

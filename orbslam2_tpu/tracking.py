@@ -134,12 +134,21 @@ def track_against_points(
     )
     r_px = radius_mult * (scale_factor ** pred_level.astype(jnp.float32))
 
+    # candidate gates (†SearchByProjection(Frame, vector<MapPoint*>, th)):
+    # window at the predicted scale, octave in [pred-1, pred], and for stereo
+    # keypoints the right-coordinate residual within the same window
     pair = matching.radius_gate(proj, kp_xy, r_px) & matching.octave_gate(
-        pred_level, kp_octave, lo=-1, hi=1
+        pred_level, kp_octave, lo=-1, hi=0
     )
+    ur_pred = proj[:, 0] - cam.bf / jnp.maximum(z, 1e-6)
+    ur_ok = (kp_ur[None, :] <= 0) | (
+        jnp.abs(ur_pred[:, None] - kp_ur[None, :]) <= r_px[:, None]
+    )
+    pair = pair & ur_ok
     res = matching.match_descriptors(
         mp_desc, kp_desc, mp_valid & in_frustum, kp_valid,
         pair_mask=pair, max_dist=max_dist, nn_ratio=nn_ratio,
+        octave_b=kp_octave, ratio_same_level_only=True,
     )
 
     # Resolve several map points claiming one keypoint: keep the best.
@@ -371,7 +380,12 @@ class Tracker:
         x1 = ref.xy
         x2 = np.where(m_valid[:, None], frame.xy[np.maximum(m_idx, 0)], 0.0)
         vidx = np.where(m_valid)[0]
-        samples = self._rng.choice(vidx, size=(N_ITERS, 8)).astype(np.int32)
+        # distinct correspondences per minimal set (duplicates make the H/F
+        # fits degenerate and waste hypotheses); one vectorized argsort draw
+        order = np.argsort(
+            self._rng.random((N_ITERS, len(vidx))), axis=1
+        )[:, :8]
+        samples = vidx[order].astype(np.int32)
         init_res = initialize_two_view(
             jnp.asarray(x1.astype(np.float32)), jnp.asarray(x2.astype(np.float32)),
             jnp.asarray(m_valid), self.cam.K, jnp.asarray(samples),

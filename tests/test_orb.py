@@ -80,7 +80,7 @@ class TestFastScore:
 class TestDetectLevel:
     def test_finds_square_corners(self, rng):
         img, corners = render_squares(rng, H=160, W=200, n=10)
-        xy, resp, valid = orb.detect_level(jnp.asarray(img), 64, 20.0, 7.0)
+        xy, _xys, resp, valid = orb.detect_level(jnp.asarray(img), 64, 20.0, 7.0)
         xy = np.asarray(xy)[np.asarray(valid)]
         assert len(xy) >= 20
         # every detection is within 2 px of a true corner
@@ -90,7 +90,7 @@ class TestDetectLevel:
     def test_spatial_balance(self, rng):
         """Round-robin selection: no cell hoards the budget."""
         img, _ = render_squares(rng, H=160, W=200, n=20)
-        xy, resp, valid = orb.detect_level(jnp.asarray(img), 40, 20.0, 7.0)
+        xy, _xys, resp, valid = orb.detect_level(jnp.asarray(img), 40, 20.0, 7.0)
         xy = np.asarray(xy)[np.asarray(valid)]
         cells = set(map(tuple, (xy // orb.CELL).tolist()))
         assert len(cells) >= 10  # spread across many cells
@@ -98,7 +98,7 @@ class TestDetectLevel:
     def test_respects_border(self, rng):
         img, _ = render_squares(rng)
         img[:25] = 0  # no features near top anyway
-        xy, resp, valid = orb.detect_level(jnp.asarray(img), 32, 20.0, 7.0)
+        xy, _xys, resp, valid = orb.detect_level(jnp.asarray(img), 32, 20.0, 7.0)
         xy = np.asarray(xy)[np.asarray(valid)]
         if len(xy):
             assert xy[:, 0].min() >= orb.PATCH_R
