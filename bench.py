@@ -1,41 +1,47 @@
-"""Headline benchmark: tracking-step throughput per chip.
+"""Headline benchmark: tracking hot path + full-system fps + BA SOL account.
 
-Runs the per-frame hot path exactly as the production tracker does — one
-jitted ORB extraction (1000 features, 8 levels, 640x480) + one jitted
-projection-gated match + motion-only LM program against 2048 map points
-(SURVEY §3.2's hot loops 1-4) — streaming uint8 frames host->device,
-pipelined dispatch, one sync at the end.
+Three measurements (SLAM_BENCH_MODE=hot|system|ba|all, default all):
 
-Baseline: the reference tracks at ~30 Hz (mean 22-35 ms/frame @1000
-features) on an i7-4790 (BASELINE.md). vs_baseline = fps / 30.
+1. tracking_fps_per_chip — the per-frame hot path exactly as the production
+   tracker dispatches it: one jitted ORB extraction (1000 features, 8
+   levels, 640x480) + the fused track_frame_fused program (motion pass,
+   conditional wide retry, local-map pass, tight pass — ONE dispatch, one
+   packed D2H) against 4096 map points, streamed uint8 frames, pipelined.
+2. system_fps_per_chip — full SlamSystem (mapping + loop closing ON) over a
+   rendered 640x480 RGB-D sequence, steady-state after warmup. On
+   relay-attached rigs this is bounded by the ~30 ms/RTT host<->device tax;
+   on direct-attached hosts the per-frame cost is 2 kernel launches + one
+   packed D2H.
+3. ba_iters_per_s (+ SOL%) — LM iterations/s on the reference local-BA
+   window (K=64 cameras, M=4096 landmarks, O=8), with the XLA cost
+   analysis supplying the FLOPs denominator: sol_pct = achieved FLOP rate /
+   chip peak (SLAM_TPU_PEAK_FLOPS, default 4.9e13 f32 for v5e).
 
-Prints ONE JSON line.
+Baseline: the reference tracks at ~30 Hz on an i7-4790 (BASELINE.md);
+vs_baseline = hot-path fps / 30. Prints ONE JSON line.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 
-def main():
-    import os
-
+def bench_hot_path():
     import jax
     import jax.numpy as jnp
-
-    profile_dir = os.environ.get("SLAM_BENCH_PROFILE", "")
 
     from orbslam2_tpu.config import ExtractorConfig
     from orbslam2_tpu.models.camera import Camera
     from orbslam2_tpu.ops import orb
-    from orbslam2_tpu.tracking import track_against_points
+    from orbslam2_tpu.tracking import track_frame_fused
 
     H, W = 480, 640
     cfg = ExtractorConfig(n_features=1000, n_levels=8)
     extractor = orb.OrbExtractor(cfg, H, W)
     cam = Camera.create(fx=520.0, fy=520.0, cx=W / 2, cy=H / 2, width=W, height=H)
-    P = 2048
+    P = 4096
 
     rng = np.random.default_rng(0)
     frames = [
@@ -45,7 +51,7 @@ def main():
     mp_pos = np.concatenate(
         [rng.uniform(-2, 2, (P, 2)), rng.uniform(4, 9, (P, 1))], 1
     ).astype(np.float32)
-    args = dict(
+    a = dict(
         mp_pos=dev(mp_pos),
         mp_desc=dev(rng.integers(0, 256, (P, 32)).astype(np.uint8)),
         mp_valid=dev(np.ones(P, bool)),
@@ -55,28 +61,23 @@ def main():
     )
     Tcw = dev(np.eye(4, dtype=np.float32))
     kp_ur = dev(np.full(cfg.max_keypoints, -1.0, np.float32))
-
     cast = jax.jit(lambda x: x.astype(jnp.float32))
 
     def step(img_u8):
         feats = extractor._extract(cast(img_u8))
-        opt, idx, valid, packed = track_against_points(
-            cam, Tcw, args["mp_pos"], args["mp_desc"], args["mp_valid"],
-            args["mp_normal"], args["mp_dmin"], args["mp_dmax"],
+        return track_frame_fused(
+            cam, Tcw, a["mp_pos"], a["mp_desc"], a["mp_valid"],
+            a["mp_normal"], a["mp_dmin"], a["mp_dmax"],
             feats.xy, feats.desc, feats.octave, feats.valid, kp_ur,
             jnp.float32(15.0), jnp.float32(cfg.scale_factor), cfg.n_levels,
+            30,
         )
-        return opt.Tcw, opt.n_inliers
 
-    # Warmup / compile both programs.
     out = step(frames[0])
     jax.block_until_ready(out)
-
     n = 100
+    profile_dir = os.environ.get("SLAM_BENCH_PROFILE", "")
     if profile_dir:
-        # SLAM_BENCH_PROFILE=<dir> captures an XLA trace of the measured loop
-        # (SURVEY §5.1: the jax.profiler replaces the reference's chrono
-        # timing prints)
         jax.profiler.start_trace(profile_dir)
     t0 = time.perf_counter()
     for i in range(n):
@@ -85,18 +86,125 @@ def main():
     dt = time.perf_counter() - t0
     if profile_dir:
         jax.profiler.stop_trace()
-    fps = n / dt
+    return n / dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "tracking_fps_per_chip",
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / 30.0, 3),
-            }
-        )
+
+def bench_system_fps(n_frames=60, warmup=15):
+    from orbslam2_tpu.config import CameraConfig, ExtractorConfig, SlamConfig
+    from orbslam2_tpu.pipeline import AsyncSlamSystem
+    from orbslam2_tpu.utils.synthetic import render_sequence
+
+    H, W = 480, 640
+    K = np.array([[520.0, 0, W / 2], [0, 520.0, H / 2], [0, 0, 1]], np.float32)
+    cfg = SlamConfig(
+        sensor="rgbd",
+        camera=CameraConfig(fx=520, fy=520, cx=W / 2, cy=H / 2, width=W,
+                            height=H, bf=52.0, fps=30),
+        extractor=ExtractorConfig(n_features=1000, n_levels=8),
     )
+    frames, poses = render_sequence(
+        n_frames, K, width=W, height=H, with_depth=True
+    )
+    slam = AsyncSlamSystem(cfg)
+    for i in range(warmup):
+        img, depth = frames[i % len(frames)]
+        slam.track_rgbd(img, depth, i / 30.0)
+    t0 = time.perf_counter()
+    n = 0
+    for i in range(warmup, n_frames):
+        img, depth = frames[i]
+        slam.track_rgbd(img, depth, i / 30.0)
+        n += 1
+    dt = time.perf_counter() - t0
+    slam.shutdown()
+    return n / dt
+
+
+def bench_ba():
+    import jax
+    import jax.numpy as jnp
+
+    from orbslam2_tpu.models.camera import Camera
+    from orbslam2_tpu.ops import ba
+
+    rng = np.random.default_rng(1)
+    K, M, O = 64, 4096, 8
+    cam = Camera.create(fx=520.0, fy=520.0, cx=320.0, cy=240.0,
+                        width=640, height=480)
+    # synthetic consistent window: cameras on a line, points in front
+    poses = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+    poses[:, 0, 3] = np.linspace(0, 2, K)
+    points = np.stack([
+        rng.uniform(-3, 3, M), rng.uniform(-2, 2, M), rng.uniform(5, 10, M),
+    ], 1).astype(np.float32)
+    obs_kf = rng.integers(0, K, (M, O)).astype(np.int32)
+    pc = np.einsum("moij,mj->moi", poses[obs_kf][..., :3, :3], points) + \
+        poses[obs_kf][..., :3, 3]
+    u = 520 * pc[..., 0] / pc[..., 2] + 320 + rng.normal(0, 0.5, (M, O))
+    v = 520 * pc[..., 1] / pc[..., 2] + 240 + rng.normal(0, 0.5, (M, O))
+    obs_uvr = np.stack(
+        [u, v, -np.ones_like(u)], -1
+    ).astype(np.float32)
+    prob = ba.BAProblem(
+        poses=jnp.asarray(poses),
+        opt_mask=jnp.asarray(np.arange(K) > 0),
+        points=jnp.asarray(points + rng.normal(0, 0.02, points.shape)
+                           .astype(np.float32)),
+        point_valid=jnp.asarray(np.ones(M, bool)),
+        obs_kf=jnp.asarray(obs_kf),
+        obs_uvr=jnp.asarray(obs_uvr),
+        obs_sigma2=jnp.asarray(np.ones((M, O), np.float32)),
+        obs_valid=jnp.asarray(np.ones((M, O), bool)),
+    )
+    ITERS = 10
+    fn = jax.jit(lambda p: ba.optimize_ba(cam=cam, prob=p, iters=ITERS,
+                                          outlier_rounds=0))
+    lowered = fn.lower(prob)
+    compiled = lowered.compile()
+    try:
+        flops_per_call = float(compiled.cost_analysis()["flops"])
+    except Exception:
+        flops_per_call = float("nan")
+    res = fn(prob)
+    jax.block_until_ready(res)
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        res = fn(prob)
+    jax.block_until_ready(res)
+    dt = time.perf_counter() - t0
+    iters_per_s = reps * ITERS / dt
+    peak = float(os.environ.get("SLAM_TPU_PEAK_FLOPS", 4.9e13))
+    achieved = flops_per_call * reps / dt
+    sol_pct = 100.0 * achieved / peak if np.isfinite(achieved) else None
+    return iters_per_s, sol_pct, flops_per_call / ITERS
+
+
+def main():
+    mode = os.environ.get("SLAM_BENCH_MODE", "all")
+    out = {}
+    if mode in ("hot", "all"):
+        out["tracking_fps_per_chip"] = round(bench_hot_path(), 2)
+    if mode in ("ba", "all"):
+        iters_per_s, sol_pct, flops_per_iter = bench_ba()
+        out["ba_iters_per_s"] = round(iters_per_s, 1)
+        if sol_pct is not None:
+            out["ba_sol_pct"] = round(sol_pct, 2)
+            out["ba_flops_per_iter"] = round(flops_per_iter / 1e9, 3)  # GF
+    if mode in ("system", "all"):
+        out["system_fps_per_chip"] = round(bench_system_fps(), 2)
+
+    primary = out.get("tracking_fps_per_chip") or next(iter(out.values()))
+    rec = {
+        "metric": "tracking_fps_per_chip" if "tracking_fps_per_chip" in out
+        else mode,
+        "value": primary,
+        "unit": "frames/s",
+        "vs_baseline": round(primary / 30.0, 3),
+    }
+    rec.update({k: v for k, v in out.items()
+                if k != "tracking_fps_per_chip"})
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

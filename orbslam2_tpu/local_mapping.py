@@ -62,6 +62,10 @@ class LocalMapper:
         self.cam = cam
         self.recent_points: List[Tuple[int, int]] = []  # (mp, created_at_kf)
         self.obs_cap = 8  # window observation cap for local BA
+        # InterruptBA analog (†LocalMapping::mbAbortBA): the async pipeline
+        # points this at "another keyframe is waiting"; local BA checks it
+        # between LM chunks and stops early with the partial solution
+        self.interrupt = lambda: False
 
     # ------------------------------------------------------------------
     def process_keyframe(self, kf: int, run_ba: bool = True):
@@ -351,7 +355,27 @@ class LocalMapper:
             obs_sigma2=jnp.asarray(obs_sigma2),
             obs_valid=jnp.asarray(obs_valid),
         )
-        res = ba.optimize_ba(cam=self.cam, prob=prob, iters=rt.local_ba_iters)
+        # chunked LM so a waiting keyframe can abort between chunks
+        # (†Optimizer::LocalBundleAdjustment's pbStopFlag)
+        chunk = 5
+        done = 0
+        res = None
+        while done < rt.local_ba_iters:
+            n = min(chunk, rt.local_ba_iters - done)
+            last = done + n >= rt.local_ba_iters
+            res = ba.optimize_ba(
+                cam=self.cam, prob=prob, iters=n,
+                outlier_rounds=1 if last else 0,
+            )
+            prob = prob._replace(poses=res.poses, points=res.points)
+            done += n
+            if not last and self.interrupt():
+                # finish with the abbreviated outlier round, like the
+                # reference's 5-iteration fallback when aborted
+                res = ba.optimize_ba(
+                    cam=self.cam, prob=prob, iters=1, outlier_rounds=1
+                )
+                break
 
         # --- write back (the reference does this under mMutexMapUpdate; we
         # are the single writer, so plain assignment)

@@ -12,6 +12,7 @@ global BA) are the jitted kernels from ops/.
 
 from __future__ import annotations
 
+import threading
 from typing import Dict, List, Optional, Set, Tuple
 
 import jax.numpy as jnp
@@ -21,7 +22,9 @@ from .config import SlamConfig
 from .map.keyframe_database import KeyFrameDatabase
 from .map.state import MapState
 from .models.camera import Camera
-from .ops import ba, bow, geometry as geo, matching, pose_graph, sim3_solver
+from .ops import (
+    ba, bow, geometry as geo, matching, pose_graph, sim3_opt, sim3_solver,
+)
 
 
 class LoopCloser:
@@ -35,6 +38,10 @@ class LoopCloser:
         self.last_loop_kf = -10**9
         self._rng = np.random.default_rng(cfg.runtime.seed + 1)
         self.loops_closed = 0
+        # background-GBA state (†RunGlobalBundleAdjustment / mbStopGBA)
+        self.gba_thread: Optional[threading.Thread] = None
+        self.gba_abort = threading.Event()
+        self.background_gba = False  # AsyncSlamSystem turns this on
 
     # ------------------------------------------------------------------
     def process_keyframe(self, kf: int, run_global_ba: bool = True) -> bool:
@@ -157,6 +164,18 @@ class LoopCloser:
             return False
         S12 = np.asarray(res.S12)  # maps loop-KF camera coords -> current
 
+        # --- grow the correspondence set under the RANSAC estimate
+        # (†SearchBySim3), then LM-refine S12 over paired reprojection
+        # edges (†OptimizeSim3) — loop precision drives the whole
+        # correction propagation
+        inl = np.asarray(res.inliers)[:N]
+        pairs = self._grow_sim3_matches(kf, loop_kf, S12)
+        pairs[f1[inl]] = f2[inl]  # RANSAC inliers always kept
+        S12_ref, n_inl = self._refine_sim3(kf, loop_kf, S12, pairs, fix_scale)
+        if n_inl < cfg.loop.min_sim3_inliers:
+            return False
+        S12 = S12_ref
+
         # total-match gate: project loop neighborhood points into current KF
         n_total = self._count_projected_matches(kf, loop_kf, S12)
         if n_total < cfg.loop.min_total_matches:
@@ -164,6 +183,68 @@ class LoopCloser:
 
         self._correct_loop(kf, loop_kf, S12, run_global_ba)
         return True
+
+    def _grow_sim3_matches(self, kf: int, loop_kf: int,
+                           S12: np.ndarray) -> np.ndarray:
+        """SearchBySim3: mutual guided projection matches between the two
+        keyframes' map points under S12, in feature-index space.
+
+        Returns (N,) int32: feature index in loop_kf per feature of kf."""
+        m = self.map
+
+        def side(k):
+            mp = m.kf_mp[k]
+            safe = np.maximum(mp, 0)
+            valid = (mp >= 0) & m.kf_feat_valid[k] & m.mp_valid[safe]
+            T = m.kf_pose[k]
+            pos_c = m.mp_pos[safe] @ T[:3, :3].T + T[:3, 3]
+            return pos_c.astype(np.float32), valid, m.mp_dmax[safe]
+
+        pos1, v1, dmax1 = side(kf)
+        pos2, v2, dmax2 = side(loop_kf)
+        ecfg = self.cfg.extractor
+        idx2, mutual = sim3_opt.search_by_sim3(
+            self.cam, jnp.asarray(S12.astype(np.float32)),
+            jnp.asarray(pos1), jnp.asarray(m.kf_desc[kf]), jnp.asarray(v1),
+            jnp.asarray(dmax1), jnp.asarray(m.kf_xy[kf]),
+            jnp.asarray(m.kf_octave[kf]),
+            jnp.asarray(pos2), jnp.asarray(m.kf_desc[loop_kf]),
+            jnp.asarray(v2), jnp.asarray(dmax2),
+            jnp.asarray(m.kf_xy[loop_kf]), jnp.asarray(m.kf_octave[loop_kf]),
+            jnp.float32(ecfg.scale_factor), ecfg.n_levels,
+        )
+        out = np.asarray(idx2).copy()
+        out[~np.asarray(mutual)] = -1
+        return out
+
+    def _refine_sim3(self, kf: int, loop_kf: int, S12: np.ndarray,
+                     pairs: np.ndarray, fix_scale: bool):
+        """OptimizeSim3 over the grown correspondence set; returns the
+        refined transform and its inlier count."""
+        m = self.map
+        valid = pairs >= 0
+        j = np.maximum(pairs, 0)
+        mp1 = m.kf_mp[kf]
+        mp2 = m.kf_mp[loop_kf, j]
+        valid = valid & (mp1 >= 0) & (mp2 >= 0)
+        s1 = np.maximum(mp1, 0)
+        s2 = np.maximum(mp2, 0)
+        valid = valid & m.mp_valid[s1] & m.mp_valid[s2]
+        T1 = m.kf_pose[kf]
+        T2 = m.kf_pose[loop_kf]
+        p1c = (m.mp_pos[s1] @ T1[:3, :3].T + T1[:3, 3]).astype(np.float32)
+        p2c = (m.mp_pos[s2] @ T2[:3, :3].T + T2[:3, 3]).astype(np.float32)
+        sf = self.cfg.extractor.scale_factor
+        s2_1 = sf ** (2 * m.kf_octave[kf].astype(np.float32))
+        s2_2 = sf ** (2 * m.kf_octave[loop_kf, j].astype(np.float32))
+        res = sim3_opt.optimize_sim3(
+            self.cam, jnp.asarray(S12.astype(np.float32)),
+            jnp.asarray(p1c), jnp.asarray(p2c),
+            jnp.asarray(m.kf_xy[kf]), jnp.asarray(m.kf_xy[loop_kf, j]),
+            jnp.asarray(s2_1), jnp.asarray(s2_2), jnp.asarray(valid),
+            fix_scale=fix_scale,
+        )
+        return np.asarray(res.S12), int(res.n_inliers)
 
     def _count_projected_matches(self, kf: int, loop_kf: int, S12) -> int:
         """SearchByProjection(Scw): loop-side neighborhood points vs current
@@ -261,9 +342,44 @@ class LoopCloser:
         # --- essential-graph optimization over all keyframes
         self._optimize_essential_graph(kf, loop_kf, pre_poses, corrected)
 
-        # --- full-map BA (†RunGlobalBundleAdjustment, synchronous here)
+        # --- full-map BA (†RunGlobalBundleAdjustment): either inline or as
+        # a detached, interruptible task with staged write-back
         if run_global_ba:
-            self.global_bundle_adjustment()
+            if self.background_gba:
+                self.launch_global_ba_background()
+            else:
+                self.global_bundle_adjustment()
+
+    # ------------------------------------------------------------------
+    # Background GBA task (†LoopClosing::RunGlobalBundleAdjustment,
+    # mbStopGBA / mnFullBAIdx semantics)
+    # ------------------------------------------------------------------
+    def launch_global_ba_background(self):
+        """Start GBA as its own task; a newer loop supersedes a running one
+        (the reference sets mbStopGBA and relaunches)."""
+        if self.gba_thread is not None and self.gba_thread.is_alive():
+            self.gba_abort.set()
+            self.gba_thread.join()
+        self.gba_abort.clear()
+        self.gba_thread = threading.Thread(
+            target=self._gba_task, name="global-ba", daemon=True
+        )
+        self.gba_thread.start()
+
+    def wait_global_ba(self, timeout: Optional[float] = None):
+        if self.gba_thread is not None and self.gba_thread.is_alive():
+            self.gba_thread.join(timeout)
+
+    def _gba_task(self):
+        try:
+            self.global_bundle_adjustment(
+                abort_check=self.gba_abort.is_set
+            )
+        except Exception as e:  # surface, don't die silently
+            import traceback
+
+            print(f"[global BA] task failed: {e}")
+            traceback.print_exc()
 
     def _search_and_fuse(self, kf: int, loop_kf: int, group):
         """Project loop-neighborhood landmarks into each corrected-group
@@ -421,10 +537,54 @@ class LoopCloser:
                                  max_kfs: Optional[int] = None,
                                  max_points: Optional[int] = None,
                                  obs_cap: int = 8,
-                                 use_mesh: bool = False):
+                                 use_mesh: bool = False,
+                                 abort_check=None,
+                                 chunk: int = 5):
+        """Full-map BA with snapshot semantics.
+
+        The problem is gathered under the map lock, solved WITHOUT the lock
+        (in `chunk`-iteration pieces so `abort_check` — the InterruptBA /
+        mbStopGBA analog — is honored between chunks), and written back
+        under the lock with spanning-tree propagation to keyframes/points
+        created while the solve ran (†RunGlobalBundleAdjustment's
+        mTcwGBA/mTcwBefGBA staged update)."""
         m = self.map
         cfg = self.cfg
         iters = iters or cfg.runtime.global_ba_iters
+        with m.lock:
+            snap = self._gba_gather(max_kfs, max_points, obs_cap)
+        if snap is None:
+            return
+        prob, kfs, mp_ids, opt_mask, n_ids = snap
+        bef_poses = {int(k): m.kf_pose[k].copy() for k in kfs}
+
+        if abort_check is None:
+            res = self._gba_solve(prob, iters, use_mesh)
+        else:
+            res = None
+            done = 0
+            while done < iters:
+                n = min(chunk, iters - done)
+                last = done + n >= iters
+                res = ba.optimize_ba(
+                    cam=self.cam, prob=prob, iters=n,
+                    outlier_rounds=1 if last else 0,
+                )
+                prob = prob._replace(poses=res.poses, points=res.points)
+                done += n
+                if abort_check() and not last:
+                    return  # superseded: discard (†mbStopGBA -> return)
+        with m.lock:
+            self._gba_write_back(
+                kfs, opt_mask, np.asarray(res.poses), bef_poses,
+                mp_ids, np.asarray(res.points)[:n_ids],
+            )
+            m.version += 1
+
+    def _gba_gather(self, max_kfs, max_points, obs_cap):
+        """Build the statically-shaped GBA problem from the live map."""
+        m = self.map
+        cfg = self.cfg
         n_live_kf = len(m.valid_keyframes())
         n_live_mp = len(m.valid_map_points())
         if max_kfs is None or max_points is None:
@@ -436,13 +596,26 @@ class LoopCloser:
                 max_kfs, max_points = self._GBA_BUCKETS[-1]
                 print(
                     f"[global BA] map ({n_live_kf} KFs, {n_live_mp} pts) "
-                    f"exceeds largest bucket {self._GBA_BUCKETS[-1]}; truncating"
+                    f"exceeds largest bucket {self._GBA_BUCKETS[-1]}; "
+                    f"optimizing the newest window (older poses propagate "
+                    f"through the spanning tree at write-back)"
                 )
-        kfs = [int(k) for k in m.valid_keyframes()][:max_kfs]
+        kfs = [int(k) for k in m.valid_keyframes()]
+        if len(kfs) > max_kfs:
+            # window the NEWEST keyframes (drift lives there); the oldest
+            # kept KF is held fixed as the gauge anchor
+            kfs = kfs[-max_kfs:]
         if len(kfs) < 2:
-            return
+            return None
         kf_to_w = {k: i for i, k in enumerate(kfs)}
-        mp_ids = m.valid_map_points()[:max_points]
+        in_window = np.zeros(m.n_kf, bool)
+        in_window[np.asarray(kfs)] = True
+        mp_all = m.valid_map_points()
+        # points observed from inside the window only
+        obs_in = in_window[np.maximum(m.mp_obs_kf[mp_all], 0)] & (
+            m.mp_obs_kf[mp_all] >= 0
+        )
+        mp_ids = mp_all[obs_in.any(1)][:max_points]
 
         Kw, Mw, Ow = max_kfs, max_points, obs_cap
         poses = np.tile(np.eye(4, dtype=np.float32), (Kw, 1, 1))
@@ -486,6 +659,9 @@ class LoopCloser:
             obs_kf=jnp.asarray(obs_kf_t), obs_uvr=jnp.asarray(obs_uvr),
             obs_sigma2=jnp.asarray(obs_s2), obs_valid=jnp.asarray(obs_val),
         )
+        return prob, kfs, mp_ids, opt_mask, n_ids
+
+    def _gba_solve(self, prob, iters, use_mesh):
         if use_mesh:
             # multi-chip: landmark axis sharded over all devices, Schur
             # system psum-reduced (†RunGlobalBundleAdjustment analog at scale)
@@ -495,11 +671,54 @@ class LoopCloser:
 
             mesh = sharded_ba.make_landmark_mesh(jax.devices())
             fn = sharded_ba.make_sharded_ba(mesh, iters=iters)
-            res = fn(self.cam, sharded_ba.shard_problem(mesh, prob))
-        else:
-            res = ba.optimize_ba(cam=self.cam, prob=prob, iters=iters)
-        new_poses = np.asarray(res.poses)
-        for k, w in kf_to_w.items():
-            if opt_mask[w]:
-                m.kf_pose[k] = new_poses[w]
-        m.mp_pos[mp_ids] = np.asarray(res.points)[:n_ids]
+            return fn(self.cam, sharded_ba.shard_problem(mesh, prob))
+        return ba.optimize_ba(cam=self.cam, prob=prob, iters=iters)
+
+    def _gba_write_back(self, kfs, opt_mask, new_poses, bef_poses,
+                        mp_ids, new_points):
+        """Apply GBA results to the live map, propagating the correction to
+        keyframes and points created during the solve (†the mnBAGlobalForKF /
+        mTcwBefGBA spanning-tree walk)."""
+        m = self.map
+        eff_bef: Dict[int, np.ndarray] = {}
+        eff_new: Dict[int, np.ndarray] = {}
+        in_snap = set()
+        for w, k in enumerate(kfs):
+            if not m.kf_valid[k]:
+                continue
+            in_snap.add(k)
+            eff_bef[k] = bef_poses[k]
+            eff_new[k] = new_poses[w] if opt_mask[w] else m.kf_pose[k].copy()
+        # keyframes created (or re-parented) during GBA: correct relative to
+        # the nearest snapshot ancestor in the spanning tree
+        for k in [int(x) for x in m.valid_keyframes()]:
+            if k in in_snap:
+                continue
+            anc = k
+            hops = 0
+            while anc >= 0 and anc not in in_snap and hops <= m.n_kf:
+                anc = int(m.span_parent[anc])
+                hops += 1
+            if anc < 0 or anc not in in_snap:
+                continue  # disconnected from the optimized window: untouched
+            bef_cur = m.kf_pose[k].copy()
+            T_rel = bef_cur @ np.linalg.inv(eff_bef[anc])
+            eff_bef[k] = bef_cur
+            eff_new[k] = (T_rel @ eff_new[anc]).astype(np.float32)
+        # points: optimized ones get their solved positions; the rest move
+        # with their reference keyframe's correction
+        live_ids = mp_ids[m.mp_valid[mp_ids]]
+        sel = m.mp_valid[mp_ids]
+        m.mp_pos[live_ids] = new_points[sel]
+        in_ids = np.zeros(m.mp_valid.shape[0], bool)
+        in_ids[live_ids] = True
+        others = np.where(m.mp_valid[: m.n_mp] & ~in_ids[: m.n_mp])[0]
+        for mp in others:
+            rk = int(m.mp_ref_kf[mp])
+            if rk not in eff_new:
+                continue
+            pc = eff_bef[rk][:3, :3] @ m.mp_pos[mp] + eff_bef[rk][:3, 3]
+            Twc = np.linalg.inv(eff_new[rk])
+            m.mp_pos[mp] = Twc[:3, :3] @ pc + Twc[:3, 3]
+        for k, T in eff_new.items():
+            m.kf_pose[k] = T

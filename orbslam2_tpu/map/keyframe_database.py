@@ -21,17 +21,26 @@ from .state import MapState
 
 class KeyFrameDatabase:
     def __init__(self, map_state: MapState, vocab_bits: Optional[np.ndarray] = None,
-                 n_words: int = bow.VOCAB_SIZE):
+                 n_words: int = bow.VOCAB_SIZE,
+                 idf: Optional[np.ndarray] = None):
         self.map = map_state
-        self.vocab = vocab_bits if vocab_bits is not None else bow.random_vocabulary(n_words)
+        if vocab_bits is not None:
+            self.vocab = vocab_bits
+            self.idf = idf
+        else:
+            # trained vocabulary + IDF asset is the default path
+            # (†System ctor loads ORBvoc.txt; random fallback if absent)
+            self.vocab, self.idf = bow.default_vocabulary(n_words)
         K = map_state.kf_valid.shape[0]
         self.bow_mat = np.zeros((K, self.vocab.shape[0]), np.float32)
         self.in_db = np.zeros(K, bool)
 
     # ------------------------------------------------------------------
     def compute_bow(self, desc: np.ndarray, valid: np.ndarray) -> np.ndarray:
+        idf_j = jnp.asarray(self.idf) if self.idf is not None else None
         return np.asarray(
-            bow.bow_vector(jnp.asarray(desc), jnp.asarray(valid), jnp.asarray(self.vocab))
+            bow.bow_vector(jnp.asarray(desc), jnp.asarray(valid),
+                           jnp.asarray(self.vocab), idf_j)
         )
 
     def add(self, kf: int):
@@ -60,7 +69,19 @@ class KeyFrameDatabase:
         m = self.map
         covis = m.covisible_keyframes(kf)
         exclude = np.concatenate([covis, [kf]]).astype(np.int64)
-        out = self._candidate_scores(self.bow_mat[kf], exclude)
+        return self.detect_loop_candidates_from_bow(
+            self.bow_mat[kf], min_score, exclude
+        )
+
+    def detect_loop_candidates_from_bow(
+        self, query_bow: np.ndarray, min_score: float,
+        exclude: Optional[np.ndarray] = None,
+    ) -> List[int]:
+        """Loop-candidate gating for an arbitrary query vector (used by the
+        loop detector above and by recall benchmarks)."""
+        if exclude is None:
+            exclude = np.zeros(0, np.int64)
+        out = self._candidate_scores(query_bow, exclude)
         if out is None:
             return []
         scores, ncommon, live = out

@@ -8,9 +8,11 @@ MXU, and candidate retrieval over all keyframes is a (W,) x (K, W) matvec.
 Same semantics (TF-IDF weights, L1 scoring, common-word gating), no tree,
 no inverted file — documented structural deviation.
 
-The vocabulary itself is trained with one round of binary k-means (majority-
-vote centroids) on descriptors sampled from the running map, or falls back
-to a deterministic random vocabulary — both options avoid the reference's
+The vocabulary itself is trained with binary k-means (majority-vote
+centroids) on ORB descriptors — the shipped default asset
+(assets/vocabulary.npz, built by tools/train_default_vocab.py) carries both
+the word centroids and their IDF weights; a deterministic random vocabulary
+remains as the last-resort fallback. Both options avoid the reference's
 145 MB ORBvoc.txt asset (unavailable offline; loading it took the reference
 10-20 s at startup anyway).
 """
@@ -25,7 +27,11 @@ import numpy as np
 
 from .orb import unpack_bits
 
-VOCAB_SIZE = 4096
+# 16384 words: measured on a 512-KF 4-world rendered database, 4096 words
+# gave same-place/novel L1 score separation of only 0.20/0.21 (useless);
+# 16384 gives 0.28/0.06 with perfect top-1 — the flat MXU assignment matmul
+# at (1000, 256) x (256, 16384) is still sub-ms on TPU.
+VOCAB_SIZE = 16384
 
 
 @functools.lru_cache()
@@ -35,6 +41,27 @@ def random_vocabulary(n_words: int = VOCAB_SIZE, seed: int = 7) -> np.ndarray:
     return rng.integers(0, 2, size=(n_words, 256)).astype(np.uint8)
 
 
+@functools.lru_cache()
+def default_vocabulary(n_words: int = VOCAB_SIZE):
+    """(bits (W, 256) uint8, idf (W,) float32 or None).
+
+    Loads the trained asset (the ORBvoc.txt replacement); deterministic
+    random vocabulary with no IDF if the asset is missing or sized
+    differently."""
+    import os
+
+    asset = os.path.join(
+        os.path.dirname(__file__), "..", "assets", "vocabulary.npz"
+    )
+    if os.path.exists(asset):
+        data = np.load(asset)
+        bits = data["bits"].astype(np.uint8)
+        if bits.shape[0] == n_words:
+            idf = data["idf"].astype(np.float32) if "idf" in data else None
+            return bits, idf
+    return random_vocabulary(n_words), None
+
+
 def train_vocabulary(
     descs: np.ndarray, n_words: int = VOCAB_SIZE, iters: int = 4, seed: int = 7
 ) -> np.ndarray:
@@ -42,9 +69,14 @@ def train_vocabulary(
 
     Replaces DBoW2's hierarchical k-means++ trainer (unused at runtime in the
     reference; here it is cheap enough to run on collected descriptors).
+    Fully vectorized: chunked Hamming assignment + scatter-add centroid
+    update (no per-word python loop).
     """
     rng = np.random.default_rng(seed)
-    bits = np.unpackbits(descs, axis=1).astype(np.float32)  # (N, 256)
+    # bitorder MUST match orb.unpack_bits (LSB-first) — the runtime
+    # quantizer (bow_vector) reads centroids in that bit order, so training
+    # in numpy's default MSB order would scramble the learned vocabulary
+    bits = np.unpackbits(descs, axis=1, bitorder="little").astype(np.float32)
     n = len(bits)
     if n < n_words:
         vocab = random_vocabulary(n_words, seed).astype(np.float32).copy()
@@ -53,13 +85,51 @@ def train_vocabulary(
     else:
         centers = bits[rng.choice(n, n_words, replace=False)].copy()
     for _ in range(iters):
-        d = _hamming_f32(bits, centers)
-        assign = d.argmin(1)
-        for w in range(n_words):
-            sel = assign == w
-            if sel.any():
-                centers[w] = (bits[sel].mean(0) > 0.5).astype(np.float32)
+        assign = assign_words(bits, centers)
+        sums = np.zeros((n_words, 256), np.float64)
+        np.add.at(sums, assign, bits)
+        counts = np.bincount(assign, minlength=n_words).astype(np.float64)
+        nonempty = counts > 0
+        centers[nonempty] = (
+            sums[nonempty] / counts[nonempty, None] > 0.5
+        ).astype(np.float32)
     return centers.astype(np.uint8)
+
+
+def assign_words(
+    bits: np.ndarray, centers: np.ndarray, chunk: int = 16384
+) -> np.ndarray:
+    """Nearest-word assignment for (N, 256) bit rows, chunked so the (N, W)
+    distance matrix never materializes whole."""
+    out = np.empty(len(bits), np.int64)
+    for i in range(0, len(bits), chunk):
+        out[i : i + chunk] = _hamming_f32(bits[i : i + chunk], centers).argmin(1)
+    return out
+
+
+def compute_idf(
+    descs: np.ndarray, valid: np.ndarray, doc_ids: np.ndarray,
+    vocab_bits: np.ndarray,
+) -> np.ndarray:
+    """IDF weights from a training corpus (†TemplatedVocabulary TF-IDF).
+
+    doc_ids assigns each descriptor to a document (image/keyframe);
+    idf[w] = log(n_docs / df[w]) with df = #docs whose BoW contains w
+    (words seen in no document get the maximum weight).
+    """
+    bits = np.unpackbits(descs[valid], axis=1, bitorder="little").astype(
+        np.float32
+    )  # LSB-first: see train_vocabulary
+    docs = np.asarray(doc_ids)[valid]
+    assign = assign_words(bits, vocab_bits.astype(np.float32))
+    n_docs = max(int(docs.max()) + 1 if len(docs) else 1, 1)
+    pair = np.unique(np.stack([assign, docs], axis=1), axis=0)
+    df = np.bincount(pair[:, 0], minlength=vocab_bits.shape[0]).astype(
+        np.float64
+    )
+    idf = np.log(n_docs / np.maximum(df, 1.0))
+    idf[df == 0] = np.log(n_docs)
+    return idf.astype(np.float32)
 
 
 def _hamming_f32(a_bits: np.ndarray, b_bits: np.ndarray) -> np.ndarray:
@@ -69,11 +139,14 @@ def _hamming_f32(a_bits: np.ndarray, b_bits: np.ndarray) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnames=())
 def bow_vector(
-    desc: jnp.ndarray, valid: jnp.ndarray, vocab_bits: jnp.ndarray
+    desc: jnp.ndarray, valid: jnp.ndarray, vocab_bits: jnp.ndarray,
+    idf: jnp.ndarray = None,
 ) -> jnp.ndarray:
-    """Packed (N, 32) descriptors -> L1-normalized TF vector (W,).
+    """Packed (N, 32) descriptors -> L1-normalized TF-IDF vector (W,).
 
     One Hamming matmul + one scatter-add; the DBoW2 `transform()` path.
+    With idf=None the vector is plain TF (the weights degrade gracefully
+    when no trained corpus statistics exist).
     """
     bits = unpack_bits(desc).astype(jnp.float32)           # (N, 256)
     vb = vocab_bits.astype(jnp.float32)                    # (W, 256)
@@ -87,7 +160,9 @@ def bow_vector(
     tf = jnp.zeros((W,), jnp.float32).at[words].add(
         valid.astype(jnp.float32)
     )
-    return tf / jnp.maximum(jnp.sum(tf), 1.0)
+    if idf is not None:
+        tf = tf * idf
+    return tf / jnp.maximum(jnp.sum(tf), 1e-9)
 
 
 def l1_score(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -2,17 +2,25 @@
 
 †src/System.cc spawns LocalMapping / LoopClosing threads that poll
 mutex-guarded queues (SURVEY §2.2). Here tracking stays on the caller
-thread (latency-critical) while one background worker drains a keyframe
-queue through local mapping + loop closing (throughput-oriented). The
-synchronization model is deliberately simpler than the reference's mutex
-inventory:
+thread (latency-critical) while two background workers mirror that
+topology: a local-mapping worker drains the keyframe queue (culling,
+triangulation, fusion, local BA) and hands finished keyframes to a
+loop-closing worker (detection, Sim3, correction); global BA runs as a
+detached transient task with staged write-back
+(loop_closing.launch_global_ba_background — the †RunGlobalBundleAdjustment
+thread). The synchronization model is deliberately simpler than the
+reference's mutex inventory:
 
   - the map is fixed-capacity arrays: concurrent element reads/writes cannot
     corrupt structure, only yield slightly stale values to the tracker (the
     same point-in-time semantics the reference's fine-grained locks give);
-  - keyframes are published by setting kf_valid last;
-  - back-pressure: while the queue is non-empty the tracker only inserts
-    urgent keyframes (the SetAcceptKeyFrames handshake, †LocalMapping.cc).
+  - keyframes are published by setting kf_valid last; structural mutation
+    happens under one coarse map lock;
+  - back-pressure: while the mapping queue is non-empty the tracker only
+    inserts urgent keyframes (the SetAcceptKeyFrames handshake,
+    †LocalMapping.cc);
+  - a keyframe arriving mid-local-BA aborts the solve between LM chunks
+    (†LocalMapping::InterruptBA / mbAbortBA).
 """
 
 from __future__ import annotations
@@ -25,19 +33,29 @@ from .system import SlamSystem
 
 
 class AsyncMappingMixin:
-    """Adds a background mapping worker to SlamSystem."""
+    """Adds background mapping + loop-closing workers to SlamSystem."""
 
     def start_async_mapping(self: "SlamSystem"):
-        if getattr(self, "_worker", None) is not None:
+        if getattr(self, "_map_worker", None) is not None:
             return
         self._kf_queue: "queue.Queue[Optional[int]]" = queue.Queue()
+        self._loop_queue: "queue.Queue[Optional[int]]" = queue.Queue()
         self._stop_evt = threading.Event()
-        self._worker = threading.Thread(
+        self._map_worker = threading.Thread(
             target=self._mapping_loop, name="local-mapping", daemon=True
         )
-        self._worker.start()
+        self._loop_worker = threading.Thread(
+            target=self._loop_closing_loop, name="loop-closing", daemon=True
+        )
+        self._map_worker.start()
+        self._loop_worker.start()
         # tracker back-pressure hook
         self.tracker.mapping_busy = lambda: not self._kf_queue.empty()
+        # local BA aborts when another keyframe is already waiting
+        # (†InterruptBA)
+        self.local_mapper.interrupt = lambda: not self._kf_queue.empty()
+        if self.loop_closer is not None:
+            self.loop_closer.background_gba = True
 
     def _mapping_loop(self: "SlamSystem"):
         while not self._stop_evt.is_set():
@@ -46,38 +64,61 @@ class AsyncMappingMixin:
             except queue.Empty:
                 continue
             if kf is None:
+                self._loop_queue.put(None)
                 break
             try:
                 with self.map.lock:
                     self.local_mapper.process_keyframe(kf)
-                    if self.loop_closer is not None and self.map.kf_valid[kf]:
-                        self.loop_closer.process_keyframe(kf)
+                if self.loop_closer is not None and self.map.kf_valid[kf]:
+                    self._loop_queue.put(kf)
             except Exception as e:  # surface, don't kill the worker silently
                 import traceback
 
                 print(f"[mapping worker] error on kf {kf}: {e}")
                 traceback.print_exc()
 
+    def _loop_closing_loop(self: "SlamSystem"):
+        while not self._stop_evt.is_set():
+            try:
+                kf = self._loop_queue.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            if kf is None:
+                break
+            try:
+                with self.map.lock:
+                    self.loop_closer.process_keyframe(kf)
+            except Exception as e:
+                import traceback
+
+                print(f"[loop worker] error on kf {kf}: {e}")
+                traceback.print_exc()
+
     def stop_async_mapping(self: "SlamSystem", drain: bool = True):
-        if getattr(self, "_worker", None) is None:
+        if getattr(self, "_map_worker", None) is None:
             return
         if drain:
             import time
 
-            while not self._kf_queue.empty():
+            while not (self._kf_queue.empty() and self._loop_queue.empty()):
                 time.sleep(0.01)
         self._kf_queue.put(None)
-        self._worker.join(timeout=5.0)
-        self._worker = None
+        self._map_worker.join(timeout=10.0)
+        self._loop_worker.join(timeout=10.0)
+        if self.loop_closer is not None:
+            self.loop_closer.wait_global_ba(timeout=60.0)
+        self._map_worker = None
+        self._loop_worker = None
         self.tracker.mapping_busy = lambda: False
+        self.local_mapper.interrupt = lambda: False
 
 
 class AsyncSlamSystem(AsyncMappingMixin, SlamSystem):
-    """SlamSystem with local mapping + loop closing off the tracking thread."""
+    """SlamSystem with mapping + loop closing + GBA off the tracking thread."""
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
-        self._worker = None
+        self._map_worker = None
         self.start_async_mapping()
 
     def _track(self, img, timestamp, depth, right_img=None):

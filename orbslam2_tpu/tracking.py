@@ -76,34 +76,12 @@ class FrameData:
 # Jitted tracking kernel: project local points -> gated match -> pose LM
 # ---------------------------------------------------------------------------
 
-@functools.partial(
-    jax.jit, static_argnames=("n_levels", "do_pose_opt", "max_dist", "nn_ratio")
-)
-def track_against_points(
-    cam: Camera,
-    Tcw_pred: jnp.ndarray,
-    mp_pos: jnp.ndarray,      # (P, 3)
-    mp_desc: jnp.ndarray,     # (P, 32)
-    mp_valid: jnp.ndarray,    # (P,)
-    mp_normal: jnp.ndarray,   # (P, 3)
-    mp_dmin: jnp.ndarray,     # (P,)
-    mp_dmax: jnp.ndarray,     # (P,)
-    kp_xy: jnp.ndarray,       # (N, 2)
-    kp_desc: jnp.ndarray,
-    kp_octave: jnp.ndarray,
-    kp_valid: jnp.ndarray,
-    kp_ur: jnp.ndarray,       # (N,)
-    radius_mult: jnp.ndarray,  # () search radius multiplier (th)
-    scale_factor: jnp.ndarray,
-    n_levels: int,
-    max_dist: int = matching.TH_HIGH,
-    nn_ratio: float = 0.9,
-    do_pose_opt: bool = True,
+def _project_match_opt(
+    cam, Tcw_pred, mp_pos, mp_desc, mp_valid, mp_normal, mp_dmin, mp_dmax,
+    kp_xy, kp_desc, kp_octave, kp_valid, kp_ur,
+    radius_mult, scale_factor, n_levels, max_dist, nn_ratio, do_pose_opt,
 ):
-    """SearchByProjection(+frustum gates) + PoseOptimization in one program.
-
-    Returns (PoseOptResult, mp->kp match idx (P,), match valid (P,)).
-    """
+    """Core of one SearchByProjection + PoseOptimization pass (traced)."""
     R = Tcw_pred[:3, :3]
     t = Tcw_pred[:3, 3]
     pc = mp_pos @ R.T + t
@@ -183,6 +161,42 @@ def track_against_points(
             n_inliers=jnp.sum(keep.astype(jnp.int32)),
             chi2=jnp.zeros_like(sigma2),
         )
+    return opt, res, keep, in_frustum
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_levels", "do_pose_opt", "max_dist", "nn_ratio")
+)
+def track_against_points(
+    cam: Camera,
+    Tcw_pred: jnp.ndarray,
+    mp_pos: jnp.ndarray,      # (P, 3)
+    mp_desc: jnp.ndarray,     # (P, 32)
+    mp_valid: jnp.ndarray,    # (P,)
+    mp_normal: jnp.ndarray,   # (P, 3)
+    mp_dmin: jnp.ndarray,     # (P,)
+    mp_dmax: jnp.ndarray,     # (P,)
+    kp_xy: jnp.ndarray,       # (N, 2)
+    kp_desc: jnp.ndarray,
+    kp_octave: jnp.ndarray,
+    kp_valid: jnp.ndarray,
+    kp_ur: jnp.ndarray,       # (N,)
+    radius_mult: jnp.ndarray,  # () search radius multiplier (th)
+    scale_factor: jnp.ndarray,
+    n_levels: int,
+    max_dist: int = matching.TH_HIGH,
+    nn_ratio: float = 0.9,
+    do_pose_opt: bool = True,
+):
+    """SearchByProjection(+frustum gates) + PoseOptimization in one program.
+
+    Returns (PoseOptResult, mp->kp match idx (P,), match valid (P,)).
+    """
+    opt, res, keep, in_frustum = _project_match_opt(
+        cam, Tcw_pred, mp_pos, mp_desc, mp_valid, mp_normal, mp_dmin,
+        mp_dmax, kp_xy, kp_desc, kp_octave, kp_valid, kp_ur,
+        radius_mult, scale_factor, n_levels, max_dist, nn_ratio, do_pose_opt,
+    )
     # One packed result vector so the host needs a single D2H transfer per
     # frame: [Tcw(16), n_inliers(1), inliers(P), mp->kp idx(P), match(P),
     # in_frustum(P)] — the frustum mask feeds the found/visible statistics
@@ -196,6 +210,84 @@ def track_against_points(
         (mp_valid & in_frustum).astype(jnp.float32),
     ])
     return opt, jnp.where(keep, res.idx, -1), keep, packed
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_levels", "min_inliers_track")
+)
+def track_frame_fused(
+    cam: Camera,
+    Tcw_pred: jnp.ndarray,
+    mp_pos: jnp.ndarray,
+    mp_desc: jnp.ndarray,
+    mp_valid: jnp.ndarray,
+    mp_normal: jnp.ndarray,
+    mp_dmin: jnp.ndarray,
+    mp_dmax: jnp.ndarray,
+    kp_xy: jnp.ndarray,
+    kp_desc: jnp.ndarray,
+    kp_octave: jnp.ndarray,
+    kp_valid: jnp.ndarray,
+    kp_ur: jnp.ndarray,
+    radius: jnp.ndarray,          # () motion-model search radius
+    scale_factor: jnp.ndarray,
+    n_levels: int,
+    min_inliers_track: int,
+):
+    """The ENTIRE per-frame tracking cascade as ONE program / ONE D2H.
+
+    Fuses the round-1 host sequence (motion pass -> wide retry -> local-map
+    pass -> tight pass, each a separate dispatch + transfer) so a frame costs
+    exactly two kernel launches (extractor + this) and one packed D2H —
+    the §7.1 design stance carried to its conclusion; on relay-attached
+    TPU hosts this removes ~3 RTTs/frame of latency.
+
+    The wide retry (†TrackWithMotionModel doubles th and rematches) runs
+    under lax.cond so its cost is only paid when the first pass fails.
+    """
+
+    def run(Tcw, r, do_opt=True):
+        return _project_match_opt(
+            cam, Tcw, mp_pos, mp_desc, mp_valid, mp_normal, mp_dmin,
+            mp_dmax, kp_xy, kp_desc, kp_octave, kp_valid, kp_ur,
+            r, scale_factor, n_levels, matching.TH_HIGH, 0.9, do_opt,
+        )
+
+    opt1, _, _, _ = run(Tcw_pred, radius)
+
+    def retry(_):
+        o, _, _, _ = run(Tcw_pred, 2.0 * radius)
+        return o.Tcw, o.n_inliers
+
+    def keep1(_):
+        return opt1.Tcw, opt1.n_inliers
+
+    Tcw1, n_motion = jax.lax.cond(
+        opt1.n_inliers < min_inliers_track, retry, keep1, operand=None
+    )
+
+    # local-map pass at the refined pose, then a tight re-match pass; keep
+    # whichever admits more inliers (measured win on rotation-heavy paths)
+    opt2, res2, keep2, frustum2 = run(Tcw1, jnp.float32(4.0))
+    opt3, res3, keep3, frustum3 = run(opt2.Tcw, jnp.float32(2.0))
+    use3 = opt3.n_inliers >= opt2.n_inliers
+    Tcw = jnp.where(use3, opt3.Tcw, opt2.Tcw)
+    n_final = jnp.where(use3, opt3.n_inliers, opt2.n_inliers)
+    inl = jnp.where(use3, opt3.inliers, opt2.inliers)
+    kp_of_mp = jnp.where(
+        use3, jnp.where(keep3, res3.idx, -1), jnp.where(keep2, res2.idx, -1)
+    )
+    frustum = frustum2  # the canonical per-frame frustum (refined pose)
+
+    packed = jnp.concatenate([
+        Tcw.reshape(-1),
+        n_motion.astype(jnp.float32)[None],
+        n_final.astype(jnp.float32)[None],
+        inl.astype(jnp.float32),
+        kp_of_mp.astype(jnp.float32),
+        (mp_valid & frustum).astype(jnp.float32),
+    ])
+    return packed
 
 
 @jax.jit
@@ -531,6 +623,18 @@ class Tracker:
         frustum = p[17 + 3 * P:] > 0.5
         return Tcw, n_inl, inl, kp_of_mp, mvalid, frustum
 
+    def _unpack_fused(self, packed):
+        """Split track_frame_fused's packed result (the frame's single D2H)."""
+        p = np.asarray(packed)
+        P = self.local_point_cap
+        Tcw = p[:16].reshape(4, 4).astype(np.float32)
+        n_motion = int(p[16])
+        n_final = int(p[17])
+        inl = p[18: 18 + P] > 0.5
+        kp_of_mp = p[18 + P: 18 + 2 * P].astype(np.int32)
+        frustum = p[18 + 2 * P:] > 0.5
+        return Tcw, n_motion, n_final, inl, kp_of_mp, frustum
+
     def _track_frame(self, frame: FrameData) -> bool:
         m = self.map
         sel, buf = self._gather_local_points()
@@ -547,54 +651,117 @@ class Tracker:
             )
             radius = 2.0 * self.cfg.tracking.motion_model_radius
 
-        opt, _, _, packed = self._run_track_kernel(
-            frame, Tcw_pred, buf, radius, matching.TH_HIGH, 0.9
+        # the whole cascade (motion pass, conditional wide retry, local-map
+        # pass, tight pass) is one program + one packed D2H per frame
+        cfge = self.cfg.extractor
+        packed = track_frame_fused(
+            self.cam, jnp.asarray(Tcw_pred),
+            buf["pos"], buf["desc"], buf["valid"], buf["normal"],
+            buf["dmin"], buf["dmax"],
+            frame.dev["xy"], frame.dev["desc"], frame.dev["octave"],
+            frame.dev["valid"], frame.dev["ur"],
+            jnp.float32(radius), jnp.float32(cfge.scale_factor),
+            cfge.n_levels, self.cfg.tracking.min_inliers_track,
         )
-        Tcw1, n_inl, _, _, _, _ = self._unpack(packed)
-        if n_inl < self.cfg.tracking.min_inliers_track:
-            # retry with a wide radius (reference doubles th and retries)
-            opt, _, _, packed = self._run_track_kernel(
-                frame, Tcw_pred, buf, 2 * radius, matching.TH_HIGH, 0.9
-            )
-            Tcw1, n_inl, _, _, _, _ = self._unpack(packed)
-            if n_inl < self.cfg.tracking.min_inliers_track:
-                return False
+        Tcw2, n_inl, n_inl2, inl, kp_of_mp, frustum = self._unpack_fused(packed)
+        if (n_inl < self.cfg.tracking.min_inliers_track
+                or n_inl2 < self.cfg.tracking.min_inliers_local_map):
+            # BoW fallback against the reference keyframe
+            # (†Tracking::TrackReferenceKeyFrame, ≈L700-740): survives
+            # velocity-model breakage (jerk, dropped frames) that a wider
+            # projection window cannot
+            return self._track_reference_keyframe(frame)
+        self._commit_track(frame, sel, Tcw2, n_inl, n_inl2, inl, kp_of_mp,
+                           frustum)
+        return True
 
-        # --- track local map: re-match with tight radius at refined pose
-        _, _, _, packed2 = self._run_track_kernel(
-            frame, Tcw1, buf, 4.0, matching.TH_HIGH, 0.9
-        )
-        Tcw2, n_inl2, inl, kp_of_mp, mvalid, frustum = self._unpack(packed2)
-        if n_inl2 < self.cfg.tracking.min_inliers_local_map:
-            return False
-
-        # --- third pass at a very tight radius: the refined pose admits
-        # more unambiguous matches (A/B on the orbit benchmark: 5.8 -> 4.7 cm)
-        _, _, _, packed3 = self._run_track_kernel(
-            frame, Tcw2, buf, 2.0, matching.TH_HIGH, 0.9
-        )
-        Tcw3, n_inl3, inl3, kp3, mv3, fr3 = self._unpack(packed3)
-        if n_inl3 >= n_inl2:
-            Tcw2, n_inl2, inl, kp_of_mp, mvalid, frustum = \
-                Tcw3, n_inl3, inl3, kp3, mv3, fr3
-
-        frame.Tcw = Tcw2
+    def _commit_track(self, frame, sel, Tcw, n_motion, n_final, inl,
+                      kp_of_mp, frustum):
+        m = self.map
+        frame.Tcw = Tcw
         frame.mp[:] = -1
         matched_rows = np.where(inl)[0]
         frame.mp[kp_of_mp[matched_rows]] = sel[matched_rows]
-        # visibility statistics for culling. NOTE deliberate deviation: the
-        # reference counts every frustum candidate as "visible", which with
-        # our (lower) per-frame matching recall makes found/visible-ratio
-        # culling remove good landmarks (measured mono ATE 0.065 vs 0.048).
-        # We count matched candidates until recall improves (ROADMAP).
-        m.mp_visible[sel[mvalid]] += 1
+        # visibility statistics for found/visible-ratio culling, reference
+        # semantics (†SearchLocalPoints increments visible for every frustum
+        # candidate; IncreaseFound for pose-opt inliers). Round-1's lowered
+        # recall forced a matched-candidates workaround here; with the
+        # recall fixes (scale band, matcher gates, subpixel, learned BRIEF)
+        # the reference statistic holds without over-culling.
+        m.mp_visible[sel[frustum]] += 1
         m.mp_found[sel[matched_rows]] += 1
-        self.n_inliers_last = n_inl2
+        self.n_inliers_last = n_final
         self.metrics.append(
-            dict(frame=frame.frame_id, inliers=n_inl2, motion_inliers=n_inl)
+            dict(frame=frame.frame_id, inliers=n_final,
+                 motion_inliers=n_motion)
         )
         if len(self.metrics) > 100_000:  # bound memory on endless streams
             del self.metrics[:50_000]
+
+    # ------------------------------------------------------------------
+    # TrackReferenceKeyFrame (†Tracking::TrackReferenceKeyFrame ≈L700-740)
+    # ------------------------------------------------------------------
+    def _track_reference_keyframe(self, frame: FrameData) -> bool:
+        """Descriptor match (the SearchByBoW analog) against the reference
+        KF's map points + pose optimization from the last frame's pose, then
+        the local-map cascade at the recovered pose."""
+        from .ops import pose_opt as po
+
+        m = self.map
+        cand = self.ref_kf
+        if cand < 0 or not m.kf_valid[cand]:
+            return False
+        has = m.kf_feat_valid[cand] & (m.kf_mp[cand] >= 0)
+        res = matching.match_descriptors(
+            jnp.asarray(frame.desc), jnp.asarray(m.kf_desc[cand]),
+            jnp.asarray(frame.valid), jnp.asarray(has),
+            max_dist=matching.TH_LOW, nn_ratio=0.7, mutual=True,
+            angles_a=jnp.asarray(frame.angle),
+            angles_b=jnp.asarray(m.kf_angle[cand]), check_rotation=True,
+        )
+        rv = np.asarray(res.valid)
+        fidx = np.where(rv)[0]
+        kidx = np.asarray(res.idx)[fidx]
+        mps = m.kf_mp[cand, kidx]
+        live = m.mp_valid[mps]
+        fidx, mps = fidx[live], mps[live]
+        if len(fidx) < 15:  # †nmatches < 15 -> fail
+            return False
+        Tcw0 = (self.last_frame.Tcw
+                if self.last_frame is not None and self.last_frame.Tcw is not None
+                else m.kf_pose[cand])
+        sf = self.cfg.extractor.scale_factor
+        N = len(fidx)
+        obs = np.concatenate(
+            [frame.xy[fidx].astype(np.float32),
+             frame.ur[fidx].astype(np.float32)[:, None]], axis=1
+        )
+        opt = po.optimize_pose(
+            jnp.asarray(Tcw0), self.cam, jnp.asarray(m.mp_pos[mps]),
+            jnp.asarray(obs),
+            jnp.asarray(sf ** (2.0 * frame.octave[fidx].astype(np.float32))),
+            jnp.ones(N, bool),
+        )
+        if int(opt.n_inliers) < 10:  # †nmatchesMap < 10 -> fail
+            return False
+        # local-map cascade from the recovered pose (no motion model)
+        sel, buf = self._gather_local_points()
+        cfge = self.cfg.extractor
+        packed = track_frame_fused(
+            self.cam, opt.Tcw,
+            buf["pos"], buf["desc"], buf["valid"], buf["normal"],
+            buf["dmin"], buf["dmax"],
+            frame.dev["xy"], frame.dev["desc"], frame.dev["octave"],
+            frame.dev["valid"], frame.dev["ur"],
+            jnp.float32(self.cfg.tracking.motion_model_radius),
+            jnp.float32(cfge.scale_factor), cfge.n_levels,
+            self.cfg.tracking.min_inliers_track,
+        )
+        Tcw2, n_inl, n_inl2, inl, kp_of_mp, frustum = self._unpack_fused(packed)
+        if n_inl2 < self.cfg.tracking.min_inliers_local_map:
+            return False
+        self._commit_track(frame, sel, Tcw2, n_inl, n_inl2, inl, kp_of_mp,
+                           frustum)
         return True
 
     # ------------------------------------------------------------------

@@ -154,7 +154,9 @@ class TestLoopClosing:
             v = 300 * pc[:, 1] / z + 120
             e = np.hypot(u - m.kf_xy[kf, feats, 0], v - m.kf_xy[kf, feats, 1])
             errs.append(np.median(e))
-        assert max(errs) < 5.0, errs
+        # with SearchBySim3 + OptimizeSim3 the corrected map reprojects at
+        # sub-pixel medians (round-1 bound was 5 px pre-refinement)
+        assert max(errs) < 1.0, errs
 
         # SearchAndFuse replaced revisit duplicates with the original
         # loop-side landmarks: the last keyframe now observes early points

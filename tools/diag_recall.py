@@ -53,15 +53,15 @@ def main(mode="mono"):
     recalls, est, gt = [], [], []
     stats = []
 
-    orig_unpack = tracker._unpack
+    orig_unpack = tracker._unpack_fused
 
     def unpack_spy(packed):
         out = orig_unpack(packed)
-        _, n_inl, inl, _, mvalid, frustum = out
-        stats.append((int(frustum.sum()), int(mvalid.sum()), n_inl))
+        _, n_motion, n_final, inl, _, frustum = out
+        stats.append((int(frustum.sum()), int(inl.sum()), n_final))
         return out
 
-    tracker._unpack = unpack_spy
+    tracker._unpack_fused = unpack_spy
 
     for i, item in enumerate(frames):
         if sensor == "rgbd":
