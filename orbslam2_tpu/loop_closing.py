@@ -51,7 +51,7 @@ class LoopCloser:
         if cand is not None:
             ok = self._compute_and_correct(kf, cand, run_global_ba)
             if ok:
-                self.last_loop_kf = kf
+                self.last_loop_kf = int(self.map.kf_seq[kf])
                 self.loops_closed += 1
                 closed = True
         self.kfdb.add(kf)
@@ -62,7 +62,9 @@ class LoopCloser:
     # ------------------------------------------------------------------
     def _detect_loop(self, kf: int) -> Optional[int]:
         m = self.map
-        if kf - self.last_loop_kf < self.cfg.loop.kfs_between_loops:
+        # temporal distance via the monotone creation sequence — keyframe
+        # slot ids are recycled, so id arithmetic is not time
+        if m.kf_seq[kf] - self.last_loop_kf < self.cfg.loop.kfs_between_loops:
             return None
         if len(m.valid_keyframes()) < self.cfg.loop.kfs_between_loops:
             return None
@@ -601,6 +603,7 @@ class LoopCloser:
                     f"through the spanning tree at write-back)"
                 )
         kfs = [int(k) for k in m.valid_keyframes()]
+        kfs.sort(key=lambda k: int(m.kf_seq[k]))  # temporal order (ids recycle)
         if len(kfs) > max_kfs:
             # window the NEWEST keyframes (drift lives there); the oldest
             # kept KF is held fixed as the gauge anchor

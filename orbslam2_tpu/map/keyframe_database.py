@@ -45,6 +45,10 @@ class KeyFrameDatabase:
 
     def add(self, kf: int):
         m = self.map
+        if kf >= self.bow_mat.shape[0]:  # map arrays grew — follow
+            extra = m.kf_valid.shape[0] - self.bow_mat.shape[0]
+            self.bow_mat = np.pad(self.bow_mat, ((0, extra), (0, 0)))
+            self.in_db = np.pad(self.in_db, (0, extra))
         self.bow_mat[kf] = self.compute_bow(m.kf_desc[kf], m.kf_feat_valid[kf])
         self.in_db[kf] = True
 

@@ -39,6 +39,8 @@ class MapState:
     # --- keyframes -----------------------------------------------------
     kf_pose: np.ndarray          # (K, 4, 4) f32, Tcw
     kf_valid: np.ndarray         # (K,) bool
+    kf_seq: np.ndarray           # (K,) i64 monotone creation order (slot ids
+    #                              are RECYCLED, so id order != temporal order)
     kf_frame_id: np.ndarray      # (K,) i64 source frame id
     kf_timestamp: np.ndarray     # (K,) f64
     kf_xy: np.ndarray            # (K, N, 2) f32 undistorted level-0 coords
@@ -72,6 +74,8 @@ class MapState:
     loop_edges: List[Tuple[int, int]] = field(default_factory=list)
     free_mp: List[int] = field(default_factory=list)  # allocatable slots
     free_mp_pending: List[int] = field(default_factory=list)  # grace period
+    free_kf: List[int] = field(default_factory=list)  # recycled KF slots
+    free_kf_pending: List[int] = field(default_factory=list)
 
     # Coarse mutation lock: tracking creates keyframes while the async
     # mapping worker mutates the same tables; both paths run at keyframe
@@ -97,6 +101,7 @@ class MapState:
             cfg=cfg,
             kf_pose=np.tile(np.eye(4, dtype=np.float32), (K, 1, 1)),
             kf_valid=np.zeros(K, bool),
+            kf_seq=np.zeros(K, np.int64),
             kf_frame_id=np.zeros(K, np.int64),
             kf_timestamp=np.zeros(K, np.float64),
             kf_xy=np.zeros((K, N, 2), np.float32),
@@ -141,10 +146,23 @@ class MapState:
         ur: Optional[np.ndarray] = None,
         depth: Optional[np.ndarray] = None,
     ) -> int:
-        """Insert a keyframe; returns its id. Capacity overflow raises."""
-        k = self.n_kf
-        if k >= self.kf_valid.shape[0]:
-            raise RuntimeError("keyframe capacity exhausted — raise max_keyframes")
+        """Insert a keyframe; returns its id (recycling culled slots, then
+        growing the arrays when the live set genuinely exceeds capacity)."""
+        if self.free_kf:
+            k = self.free_kf.pop()
+            # reset recycled slot state the fast path below doesn't cover
+            self.covis_idx[k] = -1
+            self.covis_w[k] = 0
+            self.span_parent[k] = -1
+            self.kf_ur[k] = -1.0
+            self.kf_depth[k] = -1.0
+        else:
+            k = self.n_kf
+            if k >= self.kf_valid.shape[0]:
+                self.grow(new_kf=2 * self.kf_valid.shape[0])
+            self.n_kf = k + 1
+        self.kf_seq[k] = self.next_kf_id
+        self.next_kf_id += 1
         self.kf_pose[k] = pose
         self.kf_valid[k] = True
         self.kf_frame_id[k] = frame_id
@@ -159,8 +177,6 @@ class MapState:
             self.kf_ur[k] = ur
         if depth is not None:
             self.kf_depth[k] = depth
-        self.n_kf = k + 1
-        self.next_kf_id = self.n_kf
         return k
 
     # ------------------------------------------------------------------
@@ -175,9 +191,7 @@ class MapState:
         else:
             m = self.n_mp
             if m >= self.mp_valid.shape[0]:
-                raise RuntimeError(
-                    "map-point capacity exhausted — raise max_map_points"
-                )
+                self.grow(new_mp=2 * self.mp_valid.shape[0])
             self.n_mp = m + 1
         self.mp_pos[m] = pos
         self.mp_valid[m] = True
@@ -413,6 +427,7 @@ class MapState:
                 self.covis_w[other, p] = 0
         parent = self.span_parent[kf]
         self.span_parent[self.span_parent == kf] = parent
+        self.free_kf_pending.append(int(kf))
         # Re-anchor points whose reference KF was just culled: the
         # essential-graph write-back selects points by mp_ref_kf, so a
         # dangling ref would silently skip them during loop correction.
@@ -433,6 +448,53 @@ class MapState:
         no longer be bound through a dangling id."""
         self.free_mp.extend(self.free_mp_pending)
         self.free_mp_pending = []
+        if self.free_kf_pending:
+            # long-lived structures must not bind a recycled id to a NEW
+            # keyframe: drop loop edges that referenced the culled slots
+            dead = set(self.free_kf_pending)
+            self.loop_edges = [
+                (a, b) for a, b in self.loop_edges
+                if a not in dead and b not in dead
+            ]
+            self.free_kf.extend(self.free_kf_pending)
+            self.free_kf_pending = []
+
+    def grow(self, new_kf: Optional[int] = None,
+             new_mp: Optional[int] = None):
+        """Enlarge the fixed-capacity arrays in place (ids are preserved, so
+        no remapping — the compaction story for maps that outgrow their
+        initial KITTI-scale allocation). Costs one realloc copy at keyframe
+        rate, never in the per-frame path."""
+
+        def _pad(arr, axis, extra, fill):
+            widths = [(0, 0)] * arr.ndim
+            widths[axis] = (0, extra)
+            return np.pad(arr, widths, constant_values=fill)
+
+        if new_kf is not None and new_kf > self.kf_valid.shape[0]:
+            extra = new_kf - self.kf_valid.shape[0]
+            print(f"[map] growing keyframe capacity -> {new_kf}")
+            eye = np.tile(np.eye(4, dtype=np.float32), (extra, 1, 1))
+            self.kf_pose = np.concatenate([self.kf_pose, eye])
+            for name, fill in (
+                ("kf_valid", False), ("kf_seq", 0), ("kf_frame_id", 0),
+                ("kf_timestamp", 0.0), ("kf_xy", 0.0), ("kf_desc", 0),
+                ("kf_octave", 0), ("kf_angle", 0.0), ("kf_ur", -1.0),
+                ("kf_depth", -1.0), ("kf_feat_valid", False), ("kf_mp", -1),
+                ("covis_idx", -1), ("covis_w", 0), ("span_parent", -1),
+            ):
+                setattr(self, name, _pad(getattr(self, name), 0, extra, fill))
+        if new_mp is not None and new_mp > self.mp_valid.shape[0]:
+            extra = new_mp - self.mp_valid.shape[0]
+            print(f"[map] growing map-point capacity -> {new_mp}")
+            for name, fill in (
+                ("mp_pos", 0.0), ("mp_valid", False), ("mp_desc", 0),
+                ("mp_normal", 0.0), ("mp_dmin", 0.0), ("mp_dmax", np.inf),
+                ("mp_ref_kf", -1), ("mp_first_kf", -1), ("mp_obs_kf", -1),
+                ("mp_obs_feat", -1), ("mp_n_obs", 0), ("mp_visible", 0),
+                ("mp_found", 0),
+            ):
+                setattr(self, name, _pad(getattr(self, name), 0, extra, fill))
 
     # ------------------------------------------------------------------
     def valid_map_points(self) -> np.ndarray:

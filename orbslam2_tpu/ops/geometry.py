@@ -68,13 +68,22 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
-    # Generic branch: theta/(2 sin theta) * vee(R - R^T)
+    w_generic = vee(R - jnp.swapaxes(R, -1, -2))  # = 2 sin(theta) * axis
+    # sin^2(theta) as a polynomial in R — smooth, and much better conditioned
+    # near theta=0 than arccos(trace) (f32 trace resolves theta only to ~3e-4)
+    sin2 = 0.25 * jnp.sum(w_generic * w_generic, axis=-1)
+    # arccos'(x) -> inf as x -> 1, which turns into NaN tangents under
+    # jacfwd for near-identity rotations; differentiate it at a safe point
+    # (double-where) and use the sin^2-based Taylor in the small region.
+    small = cos_t > 1.0 - 1e-5
+    # the lower clamp likewise keeps arccos' tangent finite at theta ~ pi,
+    # where the w_pi branch below supplies the actual output
+    cos_safe = jnp.clip(jnp.where(small, 0.0, cos_t), -1.0 + 1e-7, 1.0)
+    theta = jnp.where(small, jnp.sqrt(sin2 + _EPS * _EPS), jnp.arccos(cos_safe))
     sin_t = jnp.sin(theta)
-    w_generic = vee(R - jnp.swapaxes(R, -1, -2))
     scale = jnp.where(
-        theta < 1e-4,
-        0.5 + theta * theta / 12.0,  # Taylor of theta/(2 sin theta)
+        small,
+        0.5 + sin2 / 12.0,  # Taylor of theta/(2 sin theta), theta^2 ~ sin^2
         theta / (2.0 * jnp.maximum(sin_t, _EPS)),
     )
     w = w_generic * scale[..., None]

@@ -160,3 +160,70 @@ class TestPoseGraph:
         )
         scales = np.asarray(geo.sim3_s(res.poses))
         np.testing.assert_allclose(scales, 1.0, atol=1e-5)
+
+    def test_cg_matches_dense(self, rng):
+        """The matrix-free PCG path must agree with the dense Cholesky."""
+        K = 24
+        S_true = _circle_poses(K)
+        edges_i = list(range(1, K)) + [0]
+        edges_j = list(range(0, K - 1)) + [K - 1]
+        Sij = [np.asarray(geo.sim3_compose(
+            jnp.asarray(S_true[i]), geo.sim3_inverse(jnp.asarray(S_true[j]))
+        )) for i, j in zip(edges_i, edges_j)]
+        S_init = S_true.copy()
+        S_init[1:, 5:8] += rng.normal(0, 0.05, (K - 1, 3)).astype(np.float32)
+        fixed = np.zeros(K, bool); fixed[0] = True
+        args = (
+            jnp.asarray(S_init), jnp.asarray(fixed), jnp.ones(K, bool),
+            jnp.asarray(np.asarray(edges_i, np.int32)),
+            jnp.asarray(np.asarray(edges_j, np.int32)),
+            jnp.asarray(np.stack(Sij)), jnp.ones(K, bool),
+        )
+        r_dense = pose_graph.optimize_pose_graph(*args, iters=15,
+                                                 solver="dense")
+        r_cg = pose_graph.optimize_pose_graph(*args, iters=15, solver="cg")
+        np.testing.assert_allclose(
+            np.asarray(r_cg.poses), np.asarray(r_dense.poses), atol=2e-3
+        )
+
+    def test_large_graph_cg(self, rng):
+        """KITTI-scale essential graph (2000 vertices) via the CG path:
+        the drifted chain + loop edge converges without materializing H."""
+        K = 2000
+        S_true = _circle_poses(K)
+        edges_i = list(range(1, K)) + [0]
+        edges_j = list(range(0, K - 1)) + [K - 1]
+        # covisibility-ish extra edges every 10 frames (span 5)
+        for k in range(0, K - 5, 10):
+            edges_i.append(k + 5); edges_j.append(k)
+        Sij = [np.asarray(geo.sim3_compose(
+            jnp.asarray(S_true[i]), geo.sim3_inverse(jnp.asarray(S_true[j]))
+        )) for i, j in zip(edges_i, edges_j)]
+        # integrate odometry with systematic drift
+        S_init = [S_true[0]]
+        drift = np.zeros(7, np.float32); drift[0] = 0.002; drift[6] = 0.0005
+        for k in range(K - 1):
+            Sd = geo.sim3_compose(jnp.asarray(Sij[k]), jnp.asarray(S_init[-1]))
+            S_init.append(np.asarray(geo.sim3_compose(
+                geo.sim3_exp(jnp.asarray(drift)), Sd)))
+        S_init = np.stack(S_init)
+        fixed = np.zeros(K, bool); fixed[0] = True
+        res = pose_graph.optimize_pose_graph(
+            jnp.asarray(S_init), jnp.asarray(fixed), jnp.ones(K, bool),
+            jnp.asarray(np.asarray(edges_i, np.int32)),
+            jnp.asarray(np.asarray(edges_j, np.int32)),
+            jnp.asarray(np.stack(Sij)), jnp.ones(len(Sij), bool),
+            iters=20,
+        )
+        S_opt = np.asarray(res.poses)
+        assert np.isfinite(S_opt).all()
+
+        def center(Sk):
+            Skj = jnp.asarray(Sk)
+            R = np.asarray(geo.sim3_R(Skj)); t = np.asarray(geo.sim3_t(Skj))
+            return -R.T @ t / float(geo.sim3_s(Skj))
+
+        # drift at the far end of the loop largely removed
+        e_init = np.linalg.norm(center(S_init[K - 1]) - center(S_true[K - 1]))
+        e_opt = np.linalg.norm(center(S_opt[K - 1]) - center(S_true[K - 1]))
+        assert e_opt < 0.2 * e_init, (e_init, e_opt)
