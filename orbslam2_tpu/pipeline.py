@@ -124,6 +124,13 @@ class AsyncSlamSystem(AsyncMappingMixin, SlamSystem):
     def _track(self, img, timestamp, depth, right_img=None):
         pose = self.tracker.track(img, timestamp, depth_map=depth,
                                   right_img=right_img)
+        if self.tracker.reset_requested:
+            # early-loss reset: quiesce the workers against the old map,
+            # rebuild, then restart them on the fresh one
+            self.stop_async_mapping(drain=False)
+            self.reset()
+            self.start_async_mapping()
+            return pose
         kf = getattr(self.tracker, "pending_keyframe", None)
         if kf is not None and not self.localization_only:
             self._kf_queue.put(kf)

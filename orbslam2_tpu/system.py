@@ -69,6 +69,11 @@ class SlamSystem:
     def _track(self, img, timestamp, depth, right_img=None):
         pose = self.tracker.track(img, timestamp, depth_map=depth,
                                   right_img=right_img)
+        if self.tracker.reset_requested:
+            # lost within ~5 keyframes of init: the bootstrap map is junk
+            # (†Tracking "Track lost soon after initialisation, reseting...")
+            self.reset()
+            return pose
         kf = getattr(self.tracker, "pending_keyframe", None)
         if kf is not None and not self.localization_only:
             self.local_mapper.process_keyframe(kf)

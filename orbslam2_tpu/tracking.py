@@ -353,6 +353,7 @@ class Tracker:
         self.metrics_log = None  # optional utils.telemetry.MetricsLog
         self.localization_only = False  # no keyframes / no map growth
         self.mapping_busy = lambda: False  # async back-pressure hook
+        self.reset_requested = False  # set on loss right after init
 
     # ------------------------------------------------------------------
     def _make_frame(self, img: np.ndarray, timestamp: float,
@@ -429,6 +430,12 @@ class Tracker:
                     new_kf = self._create_keyframe(frame)
             else:
                 self.state = TrackingState.LOST
+                # †Tracking ≈L430-440: lost right after initialization means
+                # the bootstrap map is junk — request a full system reset
+                # instead of trying to relocalize against it
+                if (not self.localization_only
+                        and int(self.map.kf_valid.sum()) <= 5):
+                    self.reset_requested = True
 
         if frame.Tcw is not None:
             self.trajectory.append((frame.frame_id, timestamp, frame.Tcw.copy()))
@@ -596,6 +603,58 @@ class Tracker:
         )
         self._local_cache_key = key
         self._local_cache = (sel, buf)
+        self._local_n_used = len(mp_ids)
+        return sel, buf
+
+    def _augment_vo_points(self, sel: np.ndarray, buf: dict):
+        """Localization-mode visual-odometry points (†Tracking::UpdateLastFrame
+        ≈L760-800): unproject the last frame's close unmatched stereo/RGB-D
+        depths into TEMPORARY points occupying the free tail of the local
+        buffer (sel id -1 — never committed to the map), so tracking survives
+        regions the saved map covers sparsely."""
+        lf = self.last_frame
+        if (lf is None or lf.Tcw is None or lf.depth is None
+                or not (lf.depth > 0).any()):
+            return sel, buf
+        n_used = getattr(self, "_local_n_used", int(np.count_nonzero(sel)))
+        free = self.local_point_cap - n_used
+        if free <= 0:
+            return sel, buf
+        cand = np.where(lf.valid & (lf.depth > 0) & (lf.mp < 0))[0]
+        if len(cand) == 0:
+            return sel, buf
+        th_depth = self.cfg.camera.th_depth * float(
+            np.asarray(self.cam.baseline))
+        order = cand[np.argsort(lf.depth[cand])]
+        close = order[lf.depth[order] < th_depth]
+        # close points, or the nearest 100 when the scene is all-far
+        # (†UpdateLastFrame nPoints>100 cutoff)
+        spawn = (close if len(close) >= 100 else order[:100])[:free]
+        if len(spawn) == 0:
+            return sel, buf
+        Twc = np.linalg.inv(lf.Tcw)
+        fx = float(np.asarray(self.cam.fx)); fy = float(np.asarray(self.cam.fy))
+        cx = float(np.asarray(self.cam.cx)); cy = float(np.asarray(self.cam.cy))
+        d = lf.depth[spawn][:, None]
+        pc = np.concatenate(
+            [(lf.xy[spawn, :1] - cx) / fx * d,
+             (lf.xy[spawn, 1:2] - cy) / fy * d, d], axis=1).astype(np.float32)
+        pw = pc @ Twc[:3, :3].T + Twc[:3, 3]
+        center = Twc[:3, 3]
+        dist = np.linalg.norm(pw - center, axis=1)
+        normal = (pw - center) / np.maximum(dist, 1e-9)[:, None]
+        rows = np.arange(n_used, n_used + len(spawn))
+        idx = jnp.asarray(rows)
+        buf = dict(
+            pos=buf["pos"].at[idx].set(jnp.asarray(pw)),
+            desc=buf["desc"].at[idx].set(jnp.asarray(lf.desc[spawn])),
+            valid=buf["valid"].at[idx].set(True),
+            normal=buf["normal"].at[idx].set(jnp.asarray(normal)),
+            dmin=buf["dmin"].at[idx].set(jnp.asarray(dist / 2.0)),
+            dmax=buf["dmax"].at[idx].set(jnp.asarray(dist * 2.0)),
+        )
+        sel = sel.copy()
+        sel[rows] = -1
         return sel, buf
 
     def _run_track_kernel(self, frame, Tcw_pred, buf, radius, max_dist, nn_ratio,
@@ -638,6 +697,8 @@ class Tracker:
     def _track_frame(self, frame: FrameData) -> bool:
         m = self.map
         sel, buf = self._gather_local_points()
+        if self.localization_only:
+            sel, buf = self._augment_vo_points(sel, buf)
 
         # --- motion model prediction (fall back to last pose)
         if self.velocity is not None and self.last_frame.Tcw is not None:
@@ -680,7 +741,7 @@ class Tracker:
         m = self.map
         frame.Tcw = Tcw
         frame.mp[:] = -1
-        matched_rows = np.where(inl)[0]
+        matched_rows = np.where(inl & (sel >= 0))[0]  # skip temp VO points
         frame.mp[kp_of_mp[matched_rows]] = sel[matched_rows]
         # visibility statistics for found/visible-ratio culling, reference
         # semantics (†SearchLocalPoints increments visible for every frustum
@@ -688,7 +749,7 @@ class Tracker:
         # recall forced a matched-candidates workaround here; with the
         # recall fixes (scale band, matcher gates, subpixel, learned BRIEF)
         # the reference statistic holds without over-culling.
-        m.mp_visible[sel[frustum]] += 1
+        m.mp_visible[sel[frustum & (sel >= 0)]] += 1
         m.mp_found[sel[matched_rows]] += 1
         self.n_inliers_last = n_final
         self.metrics.append(
@@ -822,22 +883,52 @@ class Tracker:
         return False
 
     # ------------------------------------------------------------------
-    # Keyframe policy (†Tracking::NeedNewKeyFrame, simplified gates)
+    # Keyframe policy (†Tracking::NeedNewKeyFrame ≈L950-1030, full gates)
     # ------------------------------------------------------------------
     def _need_new_keyframe(self, frame: FrameData) -> bool:
         tcfg = self.cfg.tracking
+        m = self.map
         since = frame.frame_id - self.last_kf_frame_id
-        ref_tracked = int((self.map.kf_mp[self.ref_kf] >= 0).sum())
-        # Reference gates (†NeedNewKeyFrame): stale (>max frames), or tracking
-        # decaying vs the reference KF. Our pipeline is synchronous, so the
-        # "local mapping idle" condition becomes a minimum 3-frame spacing
-        # unless tracking is about to be lost.
-        urgent = self.n_inliers_last < 60
-        decayed = self.n_inliers_last < 0.75 * ref_tracked and since >= 3
-        stale = since >= tcfg.max_frames_between_kf
-        if self.mapping_busy() and not urgent:
-            return False  # back-pressure (†SetAcceptKeyFrames handshake)
-        return bool((stale or decayed or urgent) and self.n_inliers_last >= 15)
+        n_kfs = int(m.kf_valid.sum())
+        ref_tracked = int((m.kf_mp[self.ref_kf] >= 0).sum())
+
+        # Stereo/RGB-D close-point census (†"nTrackedClose"/"nNonTrackedClose"):
+        # inserting is URGENT when few close points are tracked but many close
+        # candidates exist — translation accuracy depends on close geometry.
+        has_depth = bool((frame.depth > 0).any())
+        if has_depth:
+            th_depth = self.cfg.camera.th_depth * float(
+                np.asarray(self.cam.baseline))
+            close = frame.valid & (frame.depth > 0) & (frame.depth < th_depth)
+            n_tracked_close = int((close & (frame.mp >= 0)).sum())
+            n_untracked_close = int((close & (frame.mp < 0)).sum())
+            need_close = n_tracked_close < 100 and n_untracked_close > 70
+        else:
+            need_close = False
+
+        # Per-sensor reference-ratio thresholds (†thRefRatio 0.75/0.9, 0.4
+        # while the map is tiny)
+        th_ref = 0.75 if has_depth else 0.9
+        if n_kfs < 2:
+            th_ref = 0.4
+
+        c1a = since >= tcfg.max_frames_between_kf
+        c1b = since >= max(tcfg.min_frames_between_kf, 3) and \
+            not self.mapping_busy()
+        c1c = has_depth and (
+            self.n_inliers_last < ref_tracked * 0.25 or need_close)
+        c2 = (self.n_inliers_last < ref_tracked * th_ref or need_close) \
+            and self.n_inliers_last > 15
+        if not ((c1a or c1b or c1c) and c2):
+            return False
+        if not self.mapping_busy():
+            return True
+        # Mapper busy: enqueueing the keyframe itself aborts the running
+        # local BA between LM chunks (pipeline wires local_mapper.interrupt
+        # to "a keyframe is waiting" — the InterruptBA analog), but only the
+        # depth-urgent case is worth the abort (†NeedNewKeyFrame queue<3
+        # stereo carve-out; mono waits for an idle mapper).
+        return bool(c1c)
 
     def _create_keyframe(self, frame: FrameData) -> int:
         m = self.map
@@ -851,6 +942,10 @@ class Tracker:
             frame.angle, frame.valid, frame.frame_id, frame.timestamp,
             ur=frame.ur, depth=frame.depth,
         )
+        if self.kfdb is not None and kf < len(self.kfdb.in_db):
+            # a recycled slot must not surface the culled keyframe's BoW row
+            # during the window before the loop closer re-adds it
+            self.kfdb.erase(kf)
         touched = []
         for feat in np.where(frame.mp >= 0)[0]:
             m.add_observation(int(frame.mp[feat]), kf, int(feat))
