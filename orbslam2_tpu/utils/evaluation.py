@@ -73,6 +73,47 @@ def ate_rmse(
     return float(np.sqrt((err ** 2).mean()))
 
 
+def load_tum_groundtruth(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """TUM groundtruth.txt -> (timestamps (N,), positions (N, 3))."""
+    ts, xyz = [], []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            p = line.split()
+            ts.append(float(p[0]))
+            xyz.append([float(p[1]), float(p[2]), float(p[3])])
+    return np.asarray(ts), np.asarray(xyz)
+
+
+def load_kitti_poses(path: str) -> np.ndarray:
+    """KITTI poses/SS.txt (3x4 row-major per line) -> (N, 4, 4) Twc."""
+    rows = np.loadtxt(path).reshape(-1, 3, 4)
+    out = np.tile(np.eye(4), (len(rows), 1, 1))
+    out[:, :3, :] = rows
+    return out
+
+
+def load_euroc_groundtruth(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """EuRoC state_groundtruth_estimate0/data.csv -> (ts_s (N,), pos (N,3))."""
+    ts, xyz = [], []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            p = line.split(",")
+            ts.append(float(p[0]) * 1e-9)
+            xyz.append([float(p[1]), float(p[2]), float(p[3])])
+    return np.asarray(ts), np.asarray(xyz)
+
+
+def load_tum_trajectory(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """TUM-format trajectory file -> (timestamps, positions)."""
+    return load_tum_groundtruth(path)
+
+
 def rpe(
     poses_est: np.ndarray, poses_gt: np.ndarray, delta: int = 1
 ) -> Tuple[float, float]:
