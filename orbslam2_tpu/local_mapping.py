@@ -158,9 +158,17 @@ class LocalMapper:
                     jnp.asarray(x1), jnp.asarray(x2),
                 )
             )
+            # †CreateNewMapPoints parallax arbitration: when the stereo
+            # rig's own parallax (2*atan2(b/2, depth)) beats the two-view
+            # ray parallax, measured-depth unprojection is MORE accurate
+            # than DLT — prefer it (low-parallax far band included).
+            X, from_dlt = self._choose_point_source(
+                X, x1, x2, T1, T2, C1, C2,
+                m.kf_depth[kf][idx1], m.kf_depth[nb][idx2], K)
             good = self._triangulation_gates(
                 X, x1, x2, T1, T2, C1, C2,
                 m.kf_octave[kf][idx1], m.kf_octave[nb][idx2], K,
+                m.kf_ur[kf][idx1], m.kf_ur[nb][idx2], from_dlt,
             )
             for i in np.where(good)[0]:
                 mp = m.add_map_point(X[i].astype(np.float32), kf)
@@ -173,27 +181,83 @@ class LocalMapper:
             m.update_point_attributes(np.asarray(new_mps))
             m.update_connections(kf)
 
-    def _triangulation_gates(self, X, x1, x2, T1, T2, C1, C2, oct1, oct2, K):
-        """Cheirality + reprojection chi2 + parallax + scale consistency."""
+    def _choose_point_source(self, X_dlt, x1, x2, T1, T2, C1, C2,
+                             d1m, d2m, K):
+        """Pick DLT vs measured-depth unprojection per candidate
+        (†CreateNewMapPoints cosParallaxRays vs cosParallaxStereo).
+
+        Returns (X, from_dlt); rows with neither a confident DLT nor a
+        stereo depth become NaN (rejected by the finite gate)."""
+        b = float(np.asarray(self.cam.baseline))
+        has1 = d1m > 0
+        has2 = d2m > 0
+        # ray parallax from the keypoint bearing vectors
+        Rw1 = T1[:3, :3].T
+        Rw2 = T2[:3, :3].T
+        Kinv = np.linalg.inv(K)
+        r1 = (np.concatenate([x1, np.ones((len(x1), 1), np.float32)], 1)
+              @ Kinv.T) @ Rw1.T
+        r2 = (np.concatenate([x2, np.ones((len(x2), 1), np.float32)], 1)
+              @ Kinv.T) @ Rw2.T
+        cos_rays = (r1 * r2).sum(1) / np.maximum(
+            np.linalg.norm(r1, axis=1) * np.linalg.norm(r2, axis=1), 1e-12)
+        cosp1 = np.where(has1, np.cos(2 * np.arctan2(b / 2, d1m)), 2.0)
+        cosp2 = np.where(has2, np.cos(2 * np.arctan2(b / 2, d2m)), 2.0)
+        cosp_stereo = np.minimum(cosp1, cosp2)
+        use_dlt = (cos_rays < cosp_stereo) & (cos_rays > 0) & (
+            has1 | has2 | (cos_rays < 0.9998))
+
+        def unproject(T, x, d):
+            Twc = np.linalg.inv(T)
+            pc = np.stack([
+                (x[:, 0] - K[0, 2]) / K[0, 0] * d,
+                (x[:, 1] - K[1, 2]) / K[1, 1] * d, d], axis=1)
+            return pc @ Twc[:3, :3].T + Twc[:3, 3]
+
+        X = np.where(use_dlt[:, None], X_dlt, np.nan)
+        pick1 = ~use_dlt & has1 & (cosp1 <= cosp2)
+        pick2 = ~use_dlt & has2 & ~pick1
+        if pick1.any():
+            X = np.where(pick1[:, None], unproject(T1, x1, d1m), X)
+        if pick2.any():
+            X = np.where(pick2[:, None], unproject(T2, x2, d2m), X)
+        return X.astype(np.float32), use_dlt
+
+    def _triangulation_gates(self, X, x1, x2, T1, T2, C1, C2, oct1, oct2, K,
+                             ur1=None, ur2=None, from_dlt=None):
+        """Cheirality + reprojection chi2 (mono 5.991 / stereo 7.8 with the
+        u_right residual, †CreateNewMapPoints) + parallax + scale."""
         sf = self.cfg.extractor.scale_factor
+        bf = float(np.asarray(self.cam.bf))
         finite = np.isfinite(X).all(1)
+        X = np.where(finite[:, None], X, 0.0)
         pc1 = X @ T1[:3, :3].T + T1[:3, 3]
         pc2 = X @ T2[:3, :3].T + T2[:3, 3]
         z_ok = (pc1[:, 2] > 0.05) & (pc2[:, 2] > 0.05)
 
-        def reproj(pc, x, octv):
-            u = K[0, 0] * pc[:, 0] / np.maximum(pc[:, 2], 1e-9) + K[0, 2]
-            v = K[1, 1] * pc[:, 1] / np.maximum(pc[:, 2], 1e-9) + K[1, 2]
+        def reproj(pc, x, octv, ur):
+            z = np.maximum(pc[:, 2], 1e-9)
+            u = K[0, 0] * pc[:, 0] / z + K[0, 2]
+            v = K[1, 1] * pc[:, 1] / z + K[1, 2]
+            sig2 = sf ** (2 * octv.astype(np.float32))
             e2 = (u - x[:, 0]) ** 2 + (v - x[:, 1]) ** 2
-            return e2 <= 5.991 * (sf ** (2 * octv.astype(np.float32)))
+            mono_ok = e2 <= 5.991 * sig2
+            if ur is None:
+                return mono_ok
+            # stereo observation: include the right-x residual, chi2(3)
+            e2s = e2 + (u - bf / z - ur) ** 2
+            return np.where(ur >= 0, e2s <= 7.8 * sig2, mono_ok)
 
-        r_ok = reproj(pc1, x1, oct1) & reproj(pc2, x2, oct2)
+        r_ok = reproj(pc1, x1, oct1, ur1) & reproj(pc2, x2, oct2, ur2)
         n1 = X - C1
         n2 = X - C2
         d1 = np.linalg.norm(n1, axis=1)
         d2 = np.linalg.norm(n2, axis=1)
         cos_par = (n1 * n2).sum(1) / np.maximum(d1 * d2, 1e-12)
+        # DLT points need real parallax; measured-depth points do not
         par_ok = cos_par < 0.9998
+        if from_dlt is not None:
+            par_ok = par_ok | ~from_dlt
         # scale consistency: distance ratio within x1.5 of octave scale ratio
         ratio_dist = d2 / np.maximum(d1, 1e-9)
         ratio_oct = sf ** (oct2.astype(np.float32) - oct1.astype(np.float32))
@@ -231,6 +295,9 @@ class LocalMapper:
             if len(mps) == 0:
                 continue
             P = 1024
+            if len(mps) > P:  # no silent caps: fuse recall shrinks here
+                print(f"[mapping] fuse {src}->{dst}: {len(mps) - P} points "
+                      f"beyond the {P}-slot window skipped")
             sel = np.zeros(P, np.int64)
             sel[: min(len(mps), P)] = mps[:P]
             pv = np.zeros(P, bool)

@@ -502,6 +502,12 @@ class LoopCloser:
             jnp.ones(len(ei), bool),
             iters=cfg.runtime.essential_graph_iters,
             fix_scale=cfg.sensor != "monocular",
+            # temporal order for the CG chain preconditioner: creation-seq
+            # sorted, dead slots pushed to the end so they never split the
+            # backbone into anchored segments
+            order=jnp.asarray(np.argsort(
+                np.where(valid, m.kf_seq[:K], np.iinfo(np.int64).max)
+            ).astype(np.int32)),
         )
         S_opt = np.asarray(res.poses)
 

@@ -76,6 +76,7 @@ class MapState:
     free_mp_pending: List[int] = field(default_factory=list)  # grace period
     free_kf: List[int] = field(default_factory=list)  # recycled KF slots
     free_kf_pending: List[int] = field(default_factory=list)
+    obs_drops: int = 0  # observations dropped on a full per-point table
 
     # Coarse mutation lock: tracking creates keyframes while the async
     # mapping worker mutates the same tables; both paths run at keyframe
@@ -214,7 +215,13 @@ class MapState:
         slots = self.mp_obs_kf[mp]
         free = np.where(slots < 0)[0]
         if len(free) == 0:
-            return  # observation table full: drop (rare; capacity-config)
+            # observation table full — drop, but never silently: this is a
+            # recall cliff if it ever becomes common (raise obs slots then)
+            self.obs_drops += 1
+            if self.obs_drops & (self.obs_drops - 1) == 0:  # 1,2,4,8,...
+                print(f"[map] obs table full: dropped {self.obs_drops} "
+                      f"observations so far (slots={len(slots)})")
+            return
         s = free[0]
         self.mp_obs_kf[mp, s] = kf
         self.mp_obs_feat[mp, s] = feat

@@ -7,10 +7,9 @@ with an 11x11 SAD scan. Here the row/disparity band is a pair mask and the
 descriptor search is the usual Hamming matmul over ALL pairs at once; the
 fork-join dual extraction disappears (two extractor calls, batchable).
 
-Subpixel SAD refinement is deliberately deferred (documented deviation):
-disparity quantization at integer keypoint coords gives depth error
-z^2/(bf) * 0.5px — acceptable until validated otherwise by the accuracy
-harness.
+`subpixel_refine` below implements the reference's 11x11 SAD parabola
+refinement as one batched gather + vmapped window scan; tracking runs it on
+every stereo frame (tracking.py _make_frame).
 """
 
 from __future__ import annotations

@@ -587,7 +587,20 @@ class Tracker:
         mp_ids = mp_ids[mp_ids >= 0]
         mp_ids = mp_ids[m.mp_valid[mp_ids]]
         if len(mp_ids) > self.local_point_cap:
-            mp_ids = mp_ids[: self.local_point_cap]
+            # Overflow: prefer points observed by the reference KF and its
+            # STRONGEST covisible neighbors (kfs is covisibility-ordered)
+            # over blind id truncation (which dropped the newest points);
+            # the kept subset is then id-sorted to preserve the
+            # older-point-wins tie-break. Logged per the no-silent-caps rule.
+            cat = m.kf_mp[kfs].ravel()  # row-major = priority order
+            cat = cat[cat >= 0]
+            _, first = np.unique(cat, return_index=True)
+            ordered = cat[np.sort(first)]
+            ordered = ordered[m.mp_valid[ordered]]
+            n_drop = len(ordered) - self.local_point_cap
+            mp_ids = np.sort(ordered[: self.local_point_cap])
+            print(f"[track] local map overflow: {n_drop} weakest-covis "
+                  f"points dropped (cap {self.local_point_cap})")
         P = self.local_point_cap
         sel = np.zeros(P, np.int64)
         sel[: len(mp_ids)] = mp_ids
@@ -836,7 +849,7 @@ class Tracker:
         m = self.map
         qbow = self.kfdb.compute_bow(frame.desc, frame.valid)
         candidates = self.kfdb.detect_relocalization_candidates(qbow)
-        for cand in candidates[:5]:
+        for cand in candidates[:10]:  # †all retrieved candidates attempted
             # BoW-style match: frame features vs candidate KF's map points
             has = m.kf_feat_valid[cand] & (m.kf_mp[cand] >= 0)
             res = matching.match_descriptors(
@@ -865,14 +878,24 @@ class Tracker:
             )
             if not bool(pr.ok):
                 continue
-            # refine + top-up against the candidate's local map
+            # refine + top-up against the candidate's local map: a wide
+            # radius-10 projection search, then — when the count lands in
+            # the almost-enough band — a second, radius-3 pass from the
+            # improved pose (†Relocalization's two progressively narrower
+            # SearchByProjection rounds)
             self.ref_kf = cand
             sel, buf = self._gather_local_points()
             _, _, _, packed = self._run_track_kernel(
                 frame, np.asarray(pr.Tcw), buf, 10.0, matching.TH_HIGH, 0.9
             )
             Tcw, n_inl, inl, kp_of_mp, _, _ = self._unpack(packed)
-            if n_inl < self.cfg.tracking.min_inliers_after_reloc:
+            required = self.cfg.tracking.min_inliers_after_reloc
+            if 30 <= n_inl < required:
+                _, _, _, packed = self._run_track_kernel(
+                    frame, Tcw, buf, 3.0, 64, 0.9
+                )
+                Tcw, n_inl, inl, kp_of_mp, _, _ = self._unpack(packed)
+            if n_inl < required:
                 continue
             frame.Tcw = Tcw
             frame.mp[:] = -1

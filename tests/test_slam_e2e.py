@@ -41,6 +41,49 @@ def mono_sequence():
     return render_sequence(50, K, width=W, height=H, with_depth=False)
 
 
+@pytest.fixture(scope="module")
+def stereo_sequence():
+    """True left/right pairs: the right camera is the left pose shifted by
+    the rig baseline along camera +x (bf=52, fx=260 -> b=0.2 m)."""
+    from orbslam2_tpu.utils.synthetic import make_box_room, orbit_trajectory, render
+
+    b = 52.0 / 260.0
+    planes = make_box_room(seed=0)
+    poses = orbit_trajectory(30)
+    pairs = []
+    Trl = np.eye(4, dtype=np.float32)
+    Trl[0, 3] = -b  # right cam: x_r = x_l - b
+    for Tcw in poses:
+        left = render(planes, K, Tcw, W, H)
+        right = render(planes, K, Trl @ Tcw, W, H)
+        pairs.append((left, right))
+    return pairs, poses
+
+
+class TestStereoPipeline:
+    def test_tracks_and_ate(self, stereo_sequence):
+        """Full stereo path: dual extraction, epipolar match + subpixel SAD,
+        close-point KF gates, stereo triangulation arbitration."""
+        pairs, poses = stereo_sequence
+        slam = SlamSystem(_cfg("stereo"))
+        est, gt = [], []
+        for i, ((left, right), Tcw_true) in enumerate(zip(pairs, poses)):
+            pose = slam.track_stereo(left, right, i / 30.0)
+            if pose is not None:
+                est.append(np.linalg.inv(pose)[:3, 3])
+                gt.append(np.linalg.inv(Tcw_true)[:3, 3])
+        assert len(est) >= len(pairs) - 1, len(est)
+        err = ate_rmse(np.array(est), np.array(gt), with_scale=False)
+        assert err < 0.06, err
+        m = slam.map
+        # stereo depth must actually be measured (ur >= 0 on real features)
+        kfs = m.valid_keyframes()
+        ur = m.kf_ur[kfs]
+        valid_feats = m.kf_feat_valid[kfs]
+        frac_stereo = (ur[valid_feats] >= 0).mean()
+        assert frac_stereo > 0.3, frac_stereo
+
+
 class TestRgbdPipeline:
     def test_tracks_and_ate(self, rgbd_sequence):
         frames, poses = rgbd_sequence

@@ -117,6 +117,49 @@ class TestResetOnEarlyLoss:
         assert slam.tracking_state == TrackingState.OK
 
 
+class TestHardRelocalization:
+    def test_relocalizes_from_novel_views(self):
+        """Relocalize from views the map has never seen (offset + rotated
+        from every mapped pose) — exercises the multi-candidate P4P loop and
+        the two-stage projection top-up, not just exact-revisit recall."""
+        from orbslam2_tpu.utils.synthetic import make_box_room, orbit_trajectory, render
+
+        planes = make_box_room(seed=0)
+        poses = orbit_trajectory(30)
+        slam = SlamSystem(_cfg())
+        for i, Tcw in enumerate(poses):
+            img, depth = render(planes, K, Tcw, 320, 240, return_depth=True)
+            slam.track_rgbd(img, depth, i / 30.0)
+        assert slam.tracking_state == TrackingState.OK
+        assert int(slam.map.kf_valid.sum()) > 5  # enough KFs to search
+
+        blank = np.zeros((240, 320), np.float32)
+        for i in range(3):
+            slam.track_rgbd(blank, blank, (30 + i) / 30.0)
+        assert slam.tracking_state == TrackingState.LOST
+
+        # novel views: mapped pose perturbed by 12 cm lateral + 4 deg yaw
+        yaw = np.deg2rad(4.0)
+        Rp = np.array([[np.cos(yaw), 0, np.sin(yaw)],
+                       [0, 1, 0], [-np.sin(yaw), 0, np.cos(yaw)]], np.float32)
+        recovered = False
+        for j, base in enumerate(poses[8:24:4]):
+            Twc = np.linalg.inv(base)
+            Twc[:3, :3] = Twc[:3, :3] @ Rp
+            Twc[:3, 3] += np.array([0.12, 0.03, 0.0], np.float32)
+            T_new = np.linalg.inv(Twc).astype(np.float32)
+            img, depth = render(planes, K, T_new, 320, 240, return_depth=True)
+            pose = slam.track_rgbd(img, depth, (40 + j) / 30.0)
+            if pose is not None:
+                C_est = np.linalg.inv(pose)[:3, 3]
+                C_gt = (poses[0] @ np.linalg.inv(T_new))[:3, 3]
+                err = np.linalg.norm(C_est - C_gt)
+                assert err < 0.15, err
+                recovered = True
+                break
+        assert recovered, "no novel-view relocalization in 4 attempts"
+
+
 class TestLocalizationVOPoints:
     def test_vo_points_augment_and_map_frozen(self, tmp_path):
         """Localization mode spawns temporary VO points from last-frame
