@@ -18,3 +18,56 @@ Layer map (mirrors SURVEY.md §1 of the reference):
 """
 
 __version__ = "0.1.0"
+
+# --- Matmul precision policy -----------------------------------------------
+# On TPU (and on jax>=0.9 CPU, which mirrors TPU semantics), DEFAULT matmul
+# precision rounds f32 operands to bfloat16. That injects ~1e-3 relative noise
+# into every matmul — fatal for the solver stack: LM proposals in bundle
+# adjustment get ~3e-3 pose corruption from `se3_exp(dx) @ T` alone, so the
+# optimizer stalls at a noise floor far above the true minimum (measured:
+# stereo local BA converges to 0.11 pose error instead of 0.008).
+#
+# Policy: the package defaults ALL f32 matmuls to true float32 precision and
+# opts back into bf16 only where it is provably exact — the Hamming-distance
+# dot products over {0,1} bit vectors in ops/matching.py and ops/bow.py
+# (products of 0/1 are exact in bf16 and XLA accumulates in f32). Those carry
+# an explicit `precision=Precision.DEFAULT`, which the config does not
+# override. Override the policy with ORBSLAM2_TPU_MATMUL_PRECISION if needed.
+import os as _os
+
+import jax as _jax
+
+try:
+    if _jax.config.jax_default_matmul_precision is None:
+        _jax.config.update(
+            "jax_default_matmul_precision",
+            _os.environ.get("ORBSLAM2_TPU_MATMUL_PRECISION", "float32"),
+        )
+except AttributeError:  # future jax: config knob renamed — fail open
+    pass
+
+# --- Persistent compilation cache ------------------------------------------
+# The system runs ~a dozen distinct jit programs whose shapes grow through
+# capacity buckets (local-BA windows, GBA sizes, pose-graph buckets); each
+# bucket transition is a fresh XLA compile (tens of seconds for the big BA
+# programs). A persistent on-disk cache makes every bucket a one-time cost
+# per machine instead of per process. Opt out with ORBSLAM2_TPU_COMPILE_CACHE=0.
+#
+# Skipped when the process forces the CPU backend (tests, CPU-only drives):
+# XLA:CPU AOT cache entries embed compile-machine feature flags and reloading
+# them warns about (and risks) SIGILL on feature drift, while CPU compiles of
+# these programs are cheap anyway. TPU/accelerator runs keep the cache.
+_force_cpu = _os.environ.get("JAX_PLATFORMS", "").strip() == "cpu"
+if _os.environ.get("ORBSLAM2_TPU_COMPILE_CACHE", "1") != "0" and not _force_cpu:
+    try:
+        if _jax.config.jax_compilation_cache_dir is None:
+            _jax.config.update(
+                "jax_compilation_cache_dir",
+                _os.environ.get(
+                    "JAX_COMPILATION_CACHE_DIR",
+                    _os.path.expanduser("~/.cache/orbslam2_tpu/xla"),
+                ),
+            )
+            _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # cache is an optimization — never block import
+        pass

@@ -22,21 +22,127 @@ from .models.camera import Camera
 from .ops import ba, geometry as geo, matching
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _triangulation_match(
-    desc1, xy1, oct1, avail1, desc2, xy2, oct2, avail2, F21, sigma2_lv2
+def _triangulate_one_neighbor(
+    desc1, xy1, oct1, avail1, depth1, ur1, T1,
+    desc2, xy2, oct2, avail2, depth2, ur2, T2, nb_ok,
+    K, baseline, bf, sf,
 ):
-    """SearchForTriangulation: epipolar-gated, ratio-tested, mutual match."""
-    pair = matching.epipolar_gate(xy1, xy2, F21, sigma2_lv2)
-    return matching.match_descriptors(
+    """Match + DLT + source choice + acceptance gates against ONE neighbor.
+
+    The full †CreateNewMapPoints inner loop as a fixed-shape program:
+    SearchForTriangulation, DLT vs measured-depth-unprojection arbitration
+    (cosParallaxRays vs cosParallaxStereo), and the cheirality / chi2 (with
+    u_right residual) / parallax / scale-consistency gates. Everything is
+    masked rather than compacted so the shapes never depend on match counts
+    — vmapped over neighbors and jitted in `_triangulate_neighbors_kernel`,
+    it costs ONE device dispatch per keyframe instead of a python loop of
+    eager ops (which, per-op, is a full host<->device round trip on relay
+    rigs)."""
+    F21 = matching.fundamental_from_poses(K, K, T1, T2)
+    sigma2_nb = sf ** (2.0 * oct2.astype(jnp.float32))
+    pair = matching.epipolar_gate(xy1, xy2, F21, sigma2_nb)
+    res = matching.match_descriptors(
         desc1, desc2, avail1, avail2, pair_mask=pair,
         max_dist=matching.TH_LOW, nn_ratio=0.6, mutual=True,
     )
+    idx = jnp.maximum(res.idx, 0)
+    x1 = xy1
+    x2 = xy2[idx]
+    o2 = oct2[idx]
+    d2m = depth2[idx]
+    u_r2 = ur2[idx]
+
+    P1 = K @ T1[:3, :]
+    P2 = K @ T2[:3, :]
+    X_dlt = geo.triangulate_dlt(P1, P2, x1, x2)          # (F, 3)
+
+    R1t = T1[:3, :3].T
+    R2t = T2[:3, :3].T
+    C1 = -(R1t @ T1[:3, 3])
+    C2 = -(R2t @ T2[:3, 3])
+    Kinv = jnp.linalg.inv(K)
+
+    # --- source arbitration (†cosParallaxRays vs cosParallaxStereo)
+    ones = jnp.ones((x1.shape[0], 1), x1.dtype)
+    r1 = (jnp.concatenate([x1, ones], 1) @ Kinv.T) @ R1t.T
+    r2 = (jnp.concatenate([x2, ones], 1) @ Kinv.T) @ R2t.T
+    cos_rays = jnp.sum(r1 * r2, 1) / jnp.maximum(
+        jnp.linalg.norm(r1, axis=1) * jnp.linalg.norm(r2, axis=1), 1e-12)
+    has1 = depth1 > 0
+    has2 = d2m > 0
+    cosp1 = jnp.where(has1, jnp.cos(2 * jnp.arctan2(baseline / 2, depth1)), 2.0)
+    cosp2 = jnp.where(has2, jnp.cos(2 * jnp.arctan2(baseline / 2, d2m)), 2.0)
+    cosp_stereo = jnp.minimum(cosp1, cosp2)
+    use_dlt = (cos_rays < cosp_stereo) & (cos_rays > 0) & (
+        has1 | has2 | (cos_rays < 0.9998))
+
+    def unproject(T, x, d):
+        Rt = T[:3, :3].T
+        Cc = -(Rt @ T[:3, 3])
+        pc = jnp.stack([
+            (x[:, 0] - K[0, 2]) / K[0, 0] * d,
+            (x[:, 1] - K[1, 2]) / K[1, 1] * d, d], axis=1)
+        return pc @ Rt.T + Cc
+
+    nan3 = jnp.full_like(X_dlt, jnp.nan)
+    X = jnp.where(use_dlt[:, None], X_dlt, nan3)
+    pick1 = ~use_dlt & has1 & (cosp1 <= cosp2)
+    pick2 = ~use_dlt & has2 & ~pick1
+    X = jnp.where(pick1[:, None], unproject(T1, x1, depth1), X)
+    X = jnp.where(pick2[:, None], unproject(T2, x2, d2m), X)
+
+    # --- acceptance gates (†CreateNewMapPoints tail)
+    finite = jnp.all(jnp.isfinite(X), axis=1)
+    Xs = jnp.where(finite[:, None], X, 0.0)
+    pc1 = Xs @ T1[:3, :3].T + T1[:3, 3]
+    pc2 = Xs @ T2[:3, :3].T + T2[:3, 3]
+    z_ok = (pc1[:, 2] > 0.05) & (pc2[:, 2] > 0.05)
+
+    def reproj_ok(pc, x, octv, ur):
+        z = jnp.maximum(pc[:, 2], 1e-9)
+        u = K[0, 0] * pc[:, 0] / z + K[0, 2]
+        v = K[1, 1] * pc[:, 1] / z + K[1, 2]
+        sig2 = sf ** (2.0 * octv.astype(jnp.float32))
+        e2 = (u - x[:, 0]) ** 2 + (v - x[:, 1]) ** 2
+        mono_ok = e2 <= 5.991 * sig2
+        e2s = e2 + (u - bf / z - ur) ** 2
+        return jnp.where(ur >= 0, e2s <= 7.8 * sig2, mono_ok)
+
+    r_ok = reproj_ok(pc1, x1, oct1, ur1) & reproj_ok(pc2, x2, o2, u_r2)
+    n1 = Xs - C1
+    n2 = Xs - C2
+    d1 = jnp.linalg.norm(n1, axis=1)
+    d2 = jnp.linalg.norm(n2, axis=1)
+    cos_par = jnp.sum(n1 * n2, 1) / jnp.maximum(d1 * d2, 1e-12)
+    par_ok = (cos_par < 0.9998) | ~use_dlt
+    ratio_dist = d2 / jnp.maximum(d1, 1e-9)
+    ratio_oct = sf ** (o2.astype(jnp.float32) - oct1.astype(jnp.float32))
+    sc_ok = (ratio_dist < ratio_oct * sf * 1.5) & (
+        ratio_dist > ratio_oct / (sf * 1.5))
+
+    good = res.valid & nb_ok & finite & z_ok & r_ok & par_ok & sc_ok
+    return jnp.where(good[:, None], Xs, 0.0), good, res.idx
 
 
 @functools.partial(jax.jit, static_argnames=())
-def _fuse_match(mp_pos, mp_desc, mp_valid, Tcw, kp_xy, kp_desc, kp_octave,
-                kp_valid, cam: Camera, scale_factor, radius_mult):
+def _triangulate_neighbors_kernel(
+    desc1, xy1, oct1, avail1, depth1, ur1, T1,
+    desc2, xy2, oct2, avail2, depth2, ur2, T2, nb_ok,
+    K, baseline, bf, sf,
+):
+    """vmap of `_triangulate_one_neighbor` over the neighbor axis: the whole
+    CreateNewMapPoints device work for a keyframe in ONE dispatch."""
+    return jax.vmap(
+        _triangulate_one_neighbor,
+        in_axes=(None,) * 7 + (0,) * 8 + (None,) * 4,
+    )(desc1, xy1, oct1, avail1, depth1, ur1, T1,
+      desc2, xy2, oct2, avail2, depth2, ur2, T2, nb_ok,
+      K, baseline, bf, sf)
+
+
+def _fuse_match_body(mp_pos, mp_desc, mp_valid, Tcw, kp_xy, kp_desc,
+                     kp_octave, kp_valid, cam: Camera, scale_factor,
+                     radius_mult):
     """ORBmatcher::Fuse projection search (no pose opt, tight radius)."""
     from .models.camera import project, in_image
 
@@ -53,6 +159,23 @@ def _fuse_match(mp_pos, mp_desc, mp_valid, Tcw, kp_xy, kp_desc, kp_octave,
         mp_desc, kp_desc, mp_valid & okz, kp_valid,
         pair_mask=pair, max_dist=matching.TH_LOW, nn_ratio=1.0,
     )
+
+
+_fuse_match = jax.jit(_fuse_match_body)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _fuse_match_batch(mp_pos, mp_desc, mp_valid, Tcw, kp_xy, kp_desc,
+                      kp_octave, kp_valid, cam: Camera, scale_factor,
+                      radius_mult):
+    """All 2N SearchInNeighbors fuse directions in ONE dispatch (vmap over
+    the direction axis — a python loop of per-direction calls costs a full
+    host<->device round trip each on relay rigs)."""
+    return jax.vmap(
+        _fuse_match_body,
+        in_axes=(0,) * 8 + (None, None, None),
+    )(mp_pos, mp_desc, mp_valid, Tcw, kp_xy, kp_desc, kp_octave, kp_valid,
+      cam, scale_factor, radius_mult)
 
 
 class LocalMapper:
@@ -112,159 +235,71 @@ class LocalMapper:
         neighbors = m.covisible_keyframes(kf, n_nb)
         if len(neighbors) == 0:
             return
-        sf = cfg.extractor.scale_factor
-        sigma2 = np.float32(sf) ** (2 * m.kf_octave.astype(np.float32))
         K = np.asarray(self.cam.K)
         T1 = m.kf_pose[kf]
         C1 = m.keyframe_center(kf)
         med_depth1 = self._median_depth(kf)
 
-        avail1 = m.kf_feat_valid[kf] & (m.kf_mp[kf] < 0)
-        new_mps = []
+        # host-side neighbor admission (pose-only baseline gates)
+        nbs = []
         for nb in neighbors:
             nb = int(nb)
-            T2 = m.kf_pose[nb]
-            C2 = m.keyframe_center(nb)
-            baseline = float(np.linalg.norm(C2 - C1))
+            baseline = float(np.linalg.norm(m.keyframe_center(nb) - C1))
             if cfg.sensor == "monocular":
                 if med_depth1 > 0 and baseline / med_depth1 < 0.01:
                     continue  # †baseline/medianDepth gate
             else:
                 if baseline < float(np.asarray(self.cam.baseline)):
                     continue
-            F21 = matching.fundamental_from_poses(
-                jnp.asarray(K), jnp.asarray(K), jnp.asarray(T1), jnp.asarray(T2)
-            )
-            avail2 = m.kf_feat_valid[nb] & (m.kf_mp[nb] < 0)
-            res = _triangulation_match(
-                jnp.asarray(m.kf_desc[kf]), jnp.asarray(m.kf_xy[kf]),
-                jnp.asarray(m.kf_octave[kf]), jnp.asarray(avail1),
-                jnp.asarray(m.kf_desc[nb]), jnp.asarray(m.kf_xy[nb]),
-                jnp.asarray(m.kf_octave[nb]), jnp.asarray(avail2),
-                F21, jnp.asarray(sigma2[nb]),
-            )
-            mv = np.asarray(res.valid)
-            if not mv.any():
-                continue
-            idx1 = np.where(mv)[0]
-            idx2 = np.asarray(res.idx)[idx1]
-            x1 = m.kf_xy[kf][idx1]
-            x2 = m.kf_xy[nb][idx2]
-            P1 = K @ T1[:3, :]
-            P2 = K @ T2[:3, :]
-            X = np.asarray(
-                geo.triangulate_dlt(
-                    jnp.asarray(P1), jnp.asarray(P2),
-                    jnp.asarray(x1), jnp.asarray(x2),
-                )
-            )
-            # †CreateNewMapPoints parallax arbitration: when the stereo
-            # rig's own parallax (2*atan2(b/2, depth)) beats the two-view
-            # ray parallax, measured-depth unprojection is MORE accurate
-            # than DLT — prefer it (low-parallax far band included).
-            X, from_dlt = self._choose_point_source(
-                X, x1, x2, T1, T2, C1, C2,
-                m.kf_depth[kf][idx1], m.kf_depth[nb][idx2], K)
-            good = self._triangulation_gates(
-                X, x1, x2, T1, T2, C1, C2,
-                m.kf_octave[kf][idx1], m.kf_octave[nb][idx2], K,
-                m.kf_ur[kf][idx1], m.kf_ur[nb][idx2], from_dlt,
-            )
-            for i in np.where(good)[0]:
-                mp = m.add_map_point(X[i].astype(np.float32), kf)
-                m.add_observation(mp, kf, int(idx1[i]))
-                m.add_observation(mp, nb, int(idx2[i]))
-                avail1[idx1[i]] = False
+            nbs.append(nb)
+        if not nbs:
+            return
+
+        # pad the neighbor axis to the configured cap so the kernel shape is
+        # stable across keyframes (padding rows carry nb_ok=False)
+        B = n_nb
+        pad = [nbs[0]] * (B - len(nbs))
+        nb_arr = np.asarray(nbs + pad, np.int64)
+        nb_ok = np.zeros(B, bool)
+        nb_ok[: len(nbs)] = True
+
+        avail1 = m.kf_feat_valid[kf] & (m.kf_mp[kf] < 0)
+        avail2 = m.kf_feat_valid[nb_arr] & (m.kf_mp[nb_arr] < 0)
+        X_all, good_all, idx_all = _triangulate_neighbors_kernel(
+            jnp.asarray(m.kf_desc[kf]), jnp.asarray(m.kf_xy[kf]),
+            jnp.asarray(m.kf_octave[kf]), jnp.asarray(avail1),
+            jnp.asarray(m.kf_depth[kf]), jnp.asarray(m.kf_ur[kf]),
+            jnp.asarray(T1),
+            jnp.asarray(m.kf_desc[nb_arr]), jnp.asarray(m.kf_xy[nb_arr]),
+            jnp.asarray(m.kf_octave[nb_arr]), jnp.asarray(avail2),
+            jnp.asarray(m.kf_depth[nb_arr]), jnp.asarray(m.kf_ur[nb_arr]),
+            jnp.asarray(m.kf_pose[nb_arr]), jnp.asarray(nb_ok),
+            jnp.asarray(K.astype(np.float32)),
+            jnp.float32(np.asarray(self.cam.baseline)),
+            jnp.float32(np.asarray(self.cam.bf)),
+            jnp.float32(cfg.extractor.scale_factor),
+        )
+        X_all = np.asarray(X_all)
+        good_all = np.asarray(good_all)
+        idx_all = np.asarray(idx_all)
+
+        # host bookkeeping: first neighbor to claim a feature wins (the
+        # sequential loop's avail1-update semantics)
+        new_mps = []
+        for b in range(len(nbs)):
+            nb = int(nb_arr[b])
+            for i in np.where(good_all[b])[0]:
+                if not avail1[i]:
+                    continue
+                mp = m.add_map_point(X_all[b, i].astype(np.float32), kf)
+                m.add_observation(mp, kf, int(i))
+                m.add_observation(mp, nb, int(idx_all[b, i]))
+                avail1[i] = False
                 new_mps.append(mp)
                 self.recent_points.append((mp, kf))
         if new_mps:
             m.update_point_attributes(np.asarray(new_mps))
             m.update_connections(kf)
-
-    def _choose_point_source(self, X_dlt, x1, x2, T1, T2, C1, C2,
-                             d1m, d2m, K):
-        """Pick DLT vs measured-depth unprojection per candidate
-        (†CreateNewMapPoints cosParallaxRays vs cosParallaxStereo).
-
-        Returns (X, from_dlt); rows with neither a confident DLT nor a
-        stereo depth become NaN (rejected by the finite gate)."""
-        b = float(np.asarray(self.cam.baseline))
-        has1 = d1m > 0
-        has2 = d2m > 0
-        # ray parallax from the keypoint bearing vectors
-        Rw1 = T1[:3, :3].T
-        Rw2 = T2[:3, :3].T
-        Kinv = np.linalg.inv(K)
-        r1 = (np.concatenate([x1, np.ones((len(x1), 1), np.float32)], 1)
-              @ Kinv.T) @ Rw1.T
-        r2 = (np.concatenate([x2, np.ones((len(x2), 1), np.float32)], 1)
-              @ Kinv.T) @ Rw2.T
-        cos_rays = (r1 * r2).sum(1) / np.maximum(
-            np.linalg.norm(r1, axis=1) * np.linalg.norm(r2, axis=1), 1e-12)
-        cosp1 = np.where(has1, np.cos(2 * np.arctan2(b / 2, d1m)), 2.0)
-        cosp2 = np.where(has2, np.cos(2 * np.arctan2(b / 2, d2m)), 2.0)
-        cosp_stereo = np.minimum(cosp1, cosp2)
-        use_dlt = (cos_rays < cosp_stereo) & (cos_rays > 0) & (
-            has1 | has2 | (cos_rays < 0.9998))
-
-        def unproject(T, x, d):
-            Twc = np.linalg.inv(T)
-            pc = np.stack([
-                (x[:, 0] - K[0, 2]) / K[0, 0] * d,
-                (x[:, 1] - K[1, 2]) / K[1, 1] * d, d], axis=1)
-            return pc @ Twc[:3, :3].T + Twc[:3, 3]
-
-        X = np.where(use_dlt[:, None], X_dlt, np.nan)
-        pick1 = ~use_dlt & has1 & (cosp1 <= cosp2)
-        pick2 = ~use_dlt & has2 & ~pick1
-        if pick1.any():
-            X = np.where(pick1[:, None], unproject(T1, x1, d1m), X)
-        if pick2.any():
-            X = np.where(pick2[:, None], unproject(T2, x2, d2m), X)
-        return X.astype(np.float32), use_dlt
-
-    def _triangulation_gates(self, X, x1, x2, T1, T2, C1, C2, oct1, oct2, K,
-                             ur1=None, ur2=None, from_dlt=None):
-        """Cheirality + reprojection chi2 (mono 5.991 / stereo 7.8 with the
-        u_right residual, †CreateNewMapPoints) + parallax + scale."""
-        sf = self.cfg.extractor.scale_factor
-        bf = float(np.asarray(self.cam.bf))
-        finite = np.isfinite(X).all(1)
-        X = np.where(finite[:, None], X, 0.0)
-        pc1 = X @ T1[:3, :3].T + T1[:3, 3]
-        pc2 = X @ T2[:3, :3].T + T2[:3, 3]
-        z_ok = (pc1[:, 2] > 0.05) & (pc2[:, 2] > 0.05)
-
-        def reproj(pc, x, octv, ur):
-            z = np.maximum(pc[:, 2], 1e-9)
-            u = K[0, 0] * pc[:, 0] / z + K[0, 2]
-            v = K[1, 1] * pc[:, 1] / z + K[1, 2]
-            sig2 = sf ** (2 * octv.astype(np.float32))
-            e2 = (u - x[:, 0]) ** 2 + (v - x[:, 1]) ** 2
-            mono_ok = e2 <= 5.991 * sig2
-            if ur is None:
-                return mono_ok
-            # stereo observation: include the right-x residual, chi2(3)
-            e2s = e2 + (u - bf / z - ur) ** 2
-            return np.where(ur >= 0, e2s <= 7.8 * sig2, mono_ok)
-
-        r_ok = reproj(pc1, x1, oct1, ur1) & reproj(pc2, x2, oct2, ur2)
-        n1 = X - C1
-        n2 = X - C2
-        d1 = np.linalg.norm(n1, axis=1)
-        d2 = np.linalg.norm(n2, axis=1)
-        cos_par = (n1 * n2).sum(1) / np.maximum(d1 * d2, 1e-12)
-        # DLT points need real parallax; measured-depth points do not
-        par_ok = cos_par < 0.9998
-        if from_dlt is not None:
-            par_ok = par_ok | ~from_dlt
-        # scale consistency: distance ratio within x1.5 of octave scale ratio
-        ratio_dist = d2 / np.maximum(d1, 1e-9)
-        ratio_oct = sf ** (oct2.astype(np.float32) - oct1.astype(np.float32))
-        sc_ok = (ratio_dist < ratio_oct * sf * 1.5) & (
-            ratio_dist > ratio_oct / (sf * 1.5)
-        )
-        return finite & z_ok & r_ok & par_ok & sc_ok
 
     def _median_depth(self, kf: int) -> float:
         m = self.map
@@ -287,31 +322,41 @@ class LocalMapper:
             return
         # project current KF's points into neighbors (and vice versa)
         directions = [(kf, nb) for nb in neighbors] + [(nb, kf) for nb in neighbors]
-        touched = set()
-        for src, dst in directions:
+        P = 1024
+        D = 20  # fixed direction capacity (2 x 10 covisible neighbors) so
+        # the batched kernel compiles once; padding rows have pv_d False
+        directions = directions[:D]
+        sel_d = np.zeros((D, P), np.int64)
+        pv_d = np.zeros((D, P), bool)
+        dst_d = np.zeros(D, np.int64)
+        for di, (src, dst) in enumerate(directions):
             mps = m.kf_mp[src]
             mps = np.unique(mps[mps >= 0])
             mps = mps[m.mp_valid[mps]]
-            if len(mps) == 0:
-                continue
-            P = 1024
             if len(mps) > P:  # no silent caps: fuse recall shrinks here
                 print(f"[mapping] fuse {src}->{dst}: {len(mps) - P} points "
                       f"beyond the {P}-slot window skipped")
-            sel = np.zeros(P, np.int64)
-            sel[: min(len(mps), P)] = mps[:P]
-            pv = np.zeros(P, bool)
-            pv[: min(len(mps), P)] = True
-            res = _fuse_match(
-                jnp.asarray(m.mp_pos[sel]), jnp.asarray(m.mp_desc[sel]),
-                jnp.asarray(pv), jnp.asarray(m.kf_pose[dst]),
-                jnp.asarray(m.kf_xy[dst]), jnp.asarray(m.kf_desc[dst]),
-                jnp.asarray(m.kf_octave[dst]), jnp.asarray(m.kf_feat_valid[dst]),
-                self.cam, jnp.float32(sf), jnp.float32(3.0),
-            )
-            rv = np.asarray(res.valid)
-            ridx = np.asarray(res.idx)
-            for row in np.where(rv)[0]:
+            sel_d[di, : min(len(mps), P)] = mps[:P]
+            pv_d[di, : min(len(mps), P)] = True
+            dst_d[di] = dst
+        # ONE batched dispatch for all 2N projection-fuse directions
+        res_d = _fuse_match_batch(
+            jnp.asarray(m.mp_pos[sel_d]), jnp.asarray(m.mp_desc[sel_d]),
+            jnp.asarray(pv_d), jnp.asarray(m.kf_pose[dst_d]),
+            jnp.asarray(m.kf_xy[dst_d]), jnp.asarray(m.kf_desc[dst_d]),
+            jnp.asarray(m.kf_octave[dst_d]),
+            jnp.asarray(m.kf_feat_valid[dst_d]),
+            self.cam, jnp.float32(sf), jnp.float32(3.0),
+        )
+        rv_d = np.asarray(res_d.valid)
+        ridx_d = np.asarray(res_d.idx)
+
+        touched = set()
+        for di, (src, dst) in enumerate(directions):
+            rv = rv_d[di]
+            ridx = ridx_d[di]
+            sel = sel_d[di]
+            for row in np.where(rv & pv_d[di])[0]:
                 mp = int(sel[row])
                 if not m.mp_valid[mp]:
                     continue  # replaced away by an earlier fuse row

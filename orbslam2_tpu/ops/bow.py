@@ -158,8 +158,11 @@ def bow_vector(
     bits = unpack_bits(desc).astype(jnp.float32)           # (N, 256)
     vb = vocab_bits.astype(jnp.float32)                    # (W, 256)
     W = vocab_bits.shape[0]
+    # Explicit DEFAULT precision: bf16 MXU path is exact on {0,1} bits (see
+    # the package-wide float32 matmul policy in orbslam2_tpu.__init__).
     dot = jax.lax.dot_general(
-        bits, vb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        bits, vb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )
     d = bits.sum(1, keepdims=True) + vb.sum(1)[None, :] - 2.0 * dot
     d = jnp.where(valid[:, None], d, jnp.inf)

@@ -41,8 +41,12 @@ def hamming_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
     """
     a = unpack_bits(desc_a).astype(jnp.float32)  # (Na, 256) in {0,1}
     b = unpack_bits(desc_b).astype(jnp.float32)
+    # Explicit DEFAULT precision keeps this contraction on the fast bf16 MXU
+    # path despite the package-wide float32 policy (see orbslam2_tpu.__init__):
+    # {0,1} operands are exact in bf16 and XLA accumulates in f32.
     dot = jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )
     na = jnp.sum(a, axis=1, keepdims=True)
     nb = jnp.sum(b, axis=1, keepdims=True)

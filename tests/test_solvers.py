@@ -66,6 +66,66 @@ class TestPnP:
         assert inl[:n_out].sum() == 0  # outliers excluded
         assert inl[n_out:].mean() > 0.8
 
+    def test_heavy_outliers(self, rng):
+        """50% gross outliers: the 4-point beta-case pipeline must still find
+        the consensus (†SetRansacParameters epsilon floor is 0.4)."""
+        cam, pw, uv, Tcw_true, n_out = self._problem(rng, outlier_frac=0.5)
+        samples = rng.integers(0, len(pw), size=(300, pnp.SAMPLE_SIZE)).astype(np.int32)
+        res = pnp.pnp_ransac(
+            cam, jnp.asarray(pw), jnp.asarray(uv), jnp.ones(len(pw), np.float32),
+            jnp.ones(len(pw), bool), jnp.asarray(samples),
+        )
+        assert bool(res.ok)
+        inl = np.asarray(res.inliers)
+        assert inl[:n_out].sum() == 0
+        assert inl[n_out:].mean() > 0.75
+
+    def test_near_planar_scene(self, rng):
+        """Near-planar world points squash the third PCA control axis; the
+        beta-case enumeration (N=2/3 seeds) must keep the solve usable where
+        a single-beta alignment degenerates (†find_betas_approx_2/3)."""
+        cam = Camera.create(fx=500, fy=500, cx=320, cy=240)
+        n = 80
+        pts = np.stack(
+            [rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n),
+             6.0 + rng.normal(0, 0.02, n)],  # depth spread ~2 cm: near-planar
+            axis=1,
+        ).astype(np.float32)
+        R = np.asarray(geo.so3_exp(jnp.asarray([0.05, -0.1, 0.03]))).astype(np.float32)
+        t = np.array([0.3, -0.2, 0.5], np.float32)
+        Tcw_true = np.asarray(geo.se3_from_rt(jnp.asarray(R), jnp.asarray(t)))
+        pw = ((pts - t) @ R).astype(np.float32)
+        uv = (500 * pts[:, :2] / pts[:, 2:3] + [320, 240]).astype(np.float32)
+        uv = (uv + rng.normal(0, 0.5, (n, 2))).astype(np.float32)
+        samples = rng.integers(0, n, size=(256, pnp.SAMPLE_SIZE)).astype(np.int32)
+        res = pnp.pnp_ransac(
+            cam, jnp.asarray(pw), jnp.asarray(uv), jnp.ones(n, np.float32),
+            jnp.ones(n, bool), jnp.asarray(samples),
+        )
+        assert bool(res.ok)
+        assert int(res.n_inliers) > 50
+        obs3 = np.concatenate([uv, -np.ones((n, 1), np.float32)], axis=1)
+        ref = pose_opt.optimize_pose(
+            res.Tcw, cam, jnp.asarray(pw), jnp.asarray(obs3),
+            jnp.ones(n, np.float32), res.inliers,
+        )
+        err = np.asarray(geo.se3_log(ref.Tcw @ geo.se3_inverse(jnp.asarray(Tcw_true))))
+        assert np.linalg.norm(err) < 5e-2, err
+
+    def test_refine_tightens_pose(self, rng):
+        """The all-inlier Refine stage must not lose inliers vs the raw
+        4-point winner, and alone (no LM) should land within ~1% pose error
+        (†PnPsolver::Refine)."""
+        cam, pw, uv, Tcw_true, _ = self._problem(rng, noise=0.3)
+        samples = rng.integers(0, len(pw), size=(64, pnp.SAMPLE_SIZE)).astype(np.int32)
+        res = pnp.pnp_ransac(
+            cam, jnp.asarray(pw), jnp.asarray(uv), jnp.ones(len(pw), np.float32),
+            jnp.ones(len(pw), bool), jnp.asarray(samples),
+        )
+        assert bool(res.ok)
+        err = np.asarray(geo.se3_log(res.Tcw @ geo.se3_inverse(jnp.asarray(Tcw_true))))
+        assert np.linalg.norm(err) < 2e-2, err
+
 
 class TestSim3:
     def _problem(self, rng, n=60, fix_scale=False, noise=0.002, outlier_frac=0.0):
