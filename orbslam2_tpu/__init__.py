@@ -20,31 +20,22 @@ Layer map (mirrors SURVEY.md §1 of the reference):
 __version__ = "0.1.0"
 
 # --- Matmul precision policy -----------------------------------------------
-# On TPU (and on jax>=0.9 CPU, which mirrors TPU semantics), DEFAULT matmul
-# precision rounds f32 operands to bfloat16. That injects ~1e-3 relative noise
-# into every matmul — fatal for the solver stack: LM proposals in bundle
-# adjustment get ~3e-3 pose corruption from `se3_exp(dx) @ T` alone, so the
-# optimizer stalls at a noise floor far above the true minimum (measured:
-# stereo local BA converges to 0.11 pose error instead of 0.008).
-#
-# Policy: the package defaults ALL f32 matmuls to true float32 precision and
-# opts back into bf16 only where it is provably exact — the Hamming-distance
-# dot products over {0,1} bit vectors in ops/matching.py and ops/bow.py
-# (products of 0/1 are exact in bf16 and XLA accumulates in f32). Those carry
-# an explicit `precision=Precision.DEFAULT`, which the config does not
-# override. Override the policy with ORBSLAM2_TPU_MATMUL_PRECISION if needed.
+# bf16 (DEFAULT) matmuls for the tracking/extraction hot path, true float32
+# for the solver stack (BA / pose graph / Sim3 / EPnP), where bf16 rounding
+# stalls LM convergence at a ~1e-3 noise floor. The solver entry points trace
+# under ops.precision.f32_matmuls; everything else keeps the fast single-pass
+# MXU default. See ops/precision.py for the measured rationale. A global
+# override remains available for experiments via ORBSLAM2_TPU_MATMUL_PRECISION.
 import os as _os
 
 import jax as _jax
 
-try:
-    if _jax.config.jax_default_matmul_precision is None:
-        _jax.config.update(
-            "jax_default_matmul_precision",
-            _os.environ.get("ORBSLAM2_TPU_MATMUL_PRECISION", "float32"),
-        )
-except AttributeError:  # future jax: config knob renamed — fail open
-    pass
+_prec = _os.environ.get("ORBSLAM2_TPU_MATMUL_PRECISION", "")
+if _prec:
+    try:
+        _jax.config.update("jax_default_matmul_precision", _prec)
+    except Exception:  # future jax: config knob renamed — fail open
+        pass
 
 # --- Persistent compilation cache ------------------------------------------
 # The system runs ~a dozen distinct jit programs whose shapes grow through

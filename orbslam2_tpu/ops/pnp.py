@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from . import geometry as geo
+from . import precision
 from ..models.camera import Camera
 
 SAMPLE_SIZE = 4          # †mRansacMinSet = 4
@@ -187,6 +188,7 @@ class PnPResult(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("min_inliers",))
+@precision.f32_matmuls
 def pnp_ransac(
     cam: Camera,
     pts_w: jnp.ndarray,     # (N, 3) candidate map points

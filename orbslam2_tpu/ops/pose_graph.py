@@ -55,6 +55,7 @@ import jax
 import jax.numpy as jnp
 
 from . import geometry as geo
+from . import precision
 
 
 def _edge_residual(d_i, d_j, x_i, x_j, M_ij, S_ij):
@@ -90,6 +91,7 @@ DENSE_MAX_K = 384   # beyond this the dense (7K)^2 Cholesky loses to CG
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "fix_scale", "solver"))
+@precision.f32_matmuls
 def optimize_pose_graph(
     S_init: jnp.ndarray,     # (K, 8) Sim3 per keyframe (Scw)
     fixed: jnp.ndarray,      # (K,) bool — held constant (loop KF)

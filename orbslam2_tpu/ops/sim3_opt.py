@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from . import geometry as geo
 from . import matching
+from . import precision
 from ..models.camera import Camera, in_image, project
 
 
@@ -52,6 +53,7 @@ def _residuals(cam: Camera, S12, p1c, p2c, u1, u2, inv_s1, inv_s2):
 @functools.partial(
     jax.jit, static_argnames=("fix_scale", "iters1", "iters2")
 )
+@precision.f32_matmuls
 def optimize_sim3(
     cam: Camera,
     S12_0: jnp.ndarray,     # (8,) initial sim3 from RANSAC

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from . import geometry as geo
+from . import precision
 from ..models.camera import Camera
 
 
@@ -27,6 +28,7 @@ class Sim3Result(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("fix_scale", "min_inliers"))
+@precision.f32_matmuls
 def sim3_ransac(
     cam: Camera,
     pts1_c: jnp.ndarray,   # (N, 3) matched points in KF1 camera frame

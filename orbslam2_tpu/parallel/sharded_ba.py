@@ -21,7 +21,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.camera import Camera
-from ..ops import ba
+from ..ops import ba, precision
 
 AXIS = "landmarks"
 
@@ -63,6 +63,7 @@ def make_sharded_ba(
     the mesh size.
     """
 
+    @precision.f32_matmuls
     def impl(cam: Camera, prob: ba.BAProblem) -> ba.BAResult:
         return ba.optimize_ba_impl(
             cam, prob, iters, outlier_rounds, fix_points, AXIS

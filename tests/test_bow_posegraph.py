@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+import pg_fixtures
+
 from orbslam2_tpu.ops import bow, geometry as geo, pose_graph
 
 
@@ -63,19 +65,8 @@ class TestSim3Log:
 
 
 def _circle_poses(K, radius=5.0):
-    """Ground-truth Sim3 keyframe poses around a loop."""
-    poses = []
-    for k in range(K):
-        a = 2 * np.pi * k / K
-        Rwc = np.array(
-            [[np.cos(a), 0, np.sin(a)], [0, 1, 0], [-np.sin(a), 0, np.cos(a)]],
-            np.float32,
-        )
-        C = np.array([radius * np.sin(a), 0.0, radius * (1 - np.cos(a))], np.float32)
-        Rcw = Rwc.T
-        t = -Rcw @ C
-        poses.append(np.asarray(geo.sim3_make(jnp.asarray(1.0), jnp.asarray(Rcw), jnp.asarray(t))))
-    return np.stack(poses)
+    """Ground-truth Sim3 keyframe poses around a loop (batched helper)."""
+    return pg_fixtures.circle_poses(K, radius)
 
 
 class TestPoseGraph:
@@ -196,23 +187,16 @@ class TestPoseGraph:
         # covisibility-ish extra edges every 10 frames (span 5)
         for k in range(0, K - 5, 10):
             edges_i.append(k + 5); edges_j.append(k)
-        Sij = [np.asarray(geo.sim3_compose(
-            jnp.asarray(S_true[i]), geo.sim3_inverse(jnp.asarray(S_true[j]))
-        )) for i, j in zip(edges_i, edges_j)]
+        Sij = pg_fixtures.relative_edges(S_true, edges_i, edges_j)
         # integrate odometry with systematic drift
-        S_init = [S_true[0]]
         drift = np.zeros(7, np.float32); drift[0] = 0.002; drift[6] = 0.0005
-        for k in range(K - 1):
-            Sd = geo.sim3_compose(jnp.asarray(Sij[k]), jnp.asarray(S_init[-1]))
-            S_init.append(np.asarray(geo.sim3_compose(
-                geo.sim3_exp(jnp.asarray(drift)), Sd)))
-        S_init = np.stack(S_init)
+        S_init = pg_fixtures.integrate_drift(Sij[: K - 1], S_true[0], drift)
         fixed = np.zeros(K, bool); fixed[0] = True
         res = pose_graph.optimize_pose_graph(
             jnp.asarray(S_init), jnp.asarray(fixed), jnp.ones(K, bool),
             jnp.asarray(np.asarray(edges_i, np.int32)),
             jnp.asarray(np.asarray(edges_j, np.int32)),
-            jnp.asarray(np.stack(Sij)), jnp.ones(len(Sij), bool),
+            jnp.asarray(Sij), jnp.ones(len(Sij), bool),
             iters=20,
         )
         S_opt = np.asarray(res.poses)

@@ -11,6 +11,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+import pg_fixtures
+
 from orbslam2_tpu.config import CameraConfig, ExtractorConfig, SlamConfig
 from orbslam2_tpu.map.state import MapState
 from orbslam2_tpu.ops import geometry as geo, pose_graph
@@ -100,36 +102,26 @@ class TestEssentialGraphScale:
     def test_odometry_chain_with_loop(self, K):
         """2000-vertex drifted odometry chain + loop closure edge converges
         through the CG solver and write-back division stays finite."""
-        S_true = np.zeros((K, 8), np.float32)
-        for i in range(K):
-            S_true[i] = np.asarray(
-                geo.sim3_from_se3(jnp.asarray(_corridor_pose(i))))
+        S_true = pg_fixtures.corridor_sim3(K)
         ei = list(range(1, K)) + [0]
         ej = list(range(0, K - 1)) + [K - 1]
         for k in range(0, K - 10, 15):  # covisibility edges
             ei.append(k + 7)
             ej.append(k)
-        Sij = [np.asarray(geo.sim3_compose(
-            jnp.asarray(S_true[i]), geo.sim3_inverse(jnp.asarray(S_true[j]))))
-            for i, j in zip(ei, ej)]
+        Sij = pg_fixtures.relative_edges(S_true, ei, ej)
         # integrate with translation+scale drift (rotation-free residuals —
         # exactly the regime that needs the so3_log autodiff guard)
         drift = np.zeros(7, np.float32)
         drift[2] = 0.004
         drift[6] = 0.0004
-        S_init = [S_true[0]]
-        for k in range(K - 1):
-            Sd = geo.sim3_compose(jnp.asarray(Sij[k]), jnp.asarray(S_init[-1]))
-            S_init.append(np.asarray(
-                geo.sim3_compose(geo.sim3_exp(jnp.asarray(drift)), Sd)))
-        S_init = np.stack(S_init)
+        S_init = pg_fixtures.integrate_drift(Sij[: K - 1], S_true[0], drift)
         fixed = np.zeros(K, bool)
         fixed[0] = True
         res = pose_graph.optimize_pose_graph(
             jnp.asarray(S_init), jnp.asarray(fixed), jnp.ones(K, bool),
             jnp.asarray(np.asarray(ei, np.int32)),
             jnp.asarray(np.asarray(ej, np.int32)),
-            jnp.asarray(np.stack(Sij)), jnp.ones(len(Sij), bool),
+            jnp.asarray(Sij), jnp.ones(len(Sij), bool),
             iters=20,
         )
         S_opt = np.asarray(res.poses)
