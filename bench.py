@@ -61,6 +61,7 @@ def bench_hot_path():
     )
     Tcw = dev(np.eye(4, dtype=np.float32))
     kp_ur = dev(np.full(cfg.max_keypoints, -1.0, np.float32))
+    kp_depth = dev(np.full(cfg.max_keypoints, -1.0, np.float32))
     cast = jax.jit(lambda x: x.astype(jnp.float32))
 
     def step(img_u8):
@@ -68,9 +69,9 @@ def bench_hot_path():
         return track_frame_fused(
             cam, Tcw, a["mp_pos"], a["mp_desc"], a["mp_valid"],
             a["mp_normal"], a["mp_dmin"], a["mp_dmax"],
-            feats.xy, feats.desc, feats.octave, feats.valid, kp_ur,
-            jnp.float32(15.0), jnp.float32(cfg.scale_factor), cfg.n_levels,
-            30,
+            feats.xy, feats.desc, feats.octave, feats.valid, kp_ur, kp_depth,
+            jnp.float32(35.0), jnp.float32(15.0),
+            jnp.float32(cfg.scale_factor), cfg.n_levels, 30,
         )
 
     out = step(frames[0])

@@ -229,6 +229,8 @@ def track_frame_fused(
     kp_octave: jnp.ndarray,
     kp_valid: jnp.ndarray,
     kp_ur: jnp.ndarray,
+    kp_depth: jnp.ndarray,        # (N,) measured depth (<=0 where none)
+    th_depth: jnp.ndarray,        # () close/far split (ThDepth * baseline)
     radius: jnp.ndarray,          # () motion-model search radius
     scale_factor: jnp.ndarray,
     n_levels: int,
@@ -279,10 +281,27 @@ def track_frame_fused(
     )
     frustum = frustum2  # the canonical per-frame frustum (refined pose)
 
+    # Close-point census for the keyframe decision (†NeedNewKeyFrame
+    # nTrackedClose / nNonTrackedClose): computed here so the host never
+    # pulls the full depth/valid arrays at frame rate — two scalars ride
+    # the packed D2H instead (on relay rigs the two array pulls cost more
+    # than the entire tracking dispatch).
+    N = kp_xy.shape[0]
+    tracked_row = inl & (kp_of_mp >= 0)
+    scatter_to = jnp.where(tracked_row, kp_of_mp, N)  # N = spill slot
+    kp_tracked = (
+        jnp.zeros((N + 1,), bool).at[scatter_to].max(tracked_row)[:N]
+    )
+    close = kp_valid & (kp_depth > 0) & (kp_depth < th_depth)
+    n_tracked_close = jnp.sum((close & kp_tracked).astype(jnp.int32))
+    n_untracked_close = jnp.sum((close & ~kp_tracked).astype(jnp.int32))
+
     packed = jnp.concatenate([
         Tcw.reshape(-1),
         n_motion.astype(jnp.float32)[None],
         n_final.astype(jnp.float32)[None],
+        n_tracked_close.astype(jnp.float32)[None],
+        n_untracked_close.astype(jnp.float32)[None],
         inl.astype(jnp.float32),
         kp_of_mp.astype(jnp.float32),
         (mp_valid & frustum).astype(jnp.float32),
@@ -345,6 +364,8 @@ class Tracker:
         self.last_kf_frame_id: int = -1000
         self.frame_id: int = 0
         self.n_inliers_last: int = 0
+        self.n_tracked_close: int = 0     # device-computed close-point census
+        self.n_untracked_close: int = 0   # (refreshed by _unpack_fused)
         self.local_point_cap = 4096
         self._rng = np.random.default_rng(cfg.runtime.seed)
         # trajectory log: (frame_id, timestamp, Tcw) for every tracked frame
@@ -702,9 +723,11 @@ class Tracker:
         Tcw = p[:16].reshape(4, 4).astype(np.float32)
         n_motion = int(p[16])
         n_final = int(p[17])
-        inl = p[18: 18 + P] > 0.5
-        kp_of_mp = p[18 + P: 18 + 2 * P].astype(np.int32)
-        frustum = p[18 + 2 * P:] > 0.5
+        self.n_tracked_close = int(p[18])
+        self.n_untracked_close = int(p[19])
+        inl = p[20: 20 + P] > 0.5
+        kp_of_mp = p[20 + P: 20 + 2 * P].astype(np.int32)
+        frustum = p[20 + 2 * P:] > 0.5
         return Tcw, n_motion, n_final, inl, kp_of_mp, frustum
 
     def _track_frame(self, frame: FrameData) -> bool:
@@ -728,12 +751,15 @@ class Tracker:
         # the whole cascade (motion pass, conditional wide retry, local-map
         # pass, tight pass) is one program + one packed D2H per frame
         cfge = self.cfg.extractor
+        th_depth = self.cfg.camera.th_depth * float(
+            np.asarray(self.cam.baseline))
         packed = track_frame_fused(
             self.cam, jnp.asarray(Tcw_pred),
             buf["pos"], buf["desc"], buf["valid"], buf["normal"],
             buf["dmin"], buf["dmax"],
             frame.dev["xy"], frame.dev["desc"], frame.dev["octave"],
-            frame.dev["valid"], frame.dev["ur"],
+            frame.dev["valid"], frame.dev["ur"], frame.dev["depth"],
+            jnp.float32(th_depth),
             jnp.float32(radius), jnp.float32(cfge.scale_factor),
             cfge.n_levels, self.cfg.tracking.min_inliers_track,
         )
@@ -826,7 +852,9 @@ class Tracker:
             buf["pos"], buf["desc"], buf["valid"], buf["normal"],
             buf["dmin"], buf["dmax"],
             frame.dev["xy"], frame.dev["desc"], frame.dev["octave"],
-            frame.dev["valid"], frame.dev["ur"],
+            frame.dev["valid"], frame.dev["ur"], frame.dev["depth"],
+            jnp.float32(self.cfg.camera.th_depth
+                        * float(np.asarray(self.cam.baseline))),
             jnp.float32(self.cfg.tracking.motion_model_radius),
             jnp.float32(cfge.scale_factor), cfge.n_levels,
             self.cfg.tracking.min_inliers_track,
@@ -918,16 +946,13 @@ class Tracker:
         # Stereo/RGB-D close-point census (†"nTrackedClose"/"nNonTrackedClose"):
         # inserting is URGENT when few close points are tracked but many close
         # candidates exist — translation accuracy depends on close geometry.
-        has_depth = bool((frame.depth > 0).any())
-        if has_depth:
-            th_depth = self.cfg.camera.th_depth * float(
-                np.asarray(self.cam.baseline))
-            close = frame.valid & (frame.depth > 0) & (frame.depth < th_depth)
-            n_tracked_close = int((close & (frame.mp >= 0)).sum())
-            n_untracked_close = int((close & (frame.mp < 0)).sum())
-            need_close = n_tracked_close < 100 and n_untracked_close > 70
-        else:
-            need_close = False
+        # The counts are computed on device inside track_frame_fused and ride
+        # the packed D2H (pulling the full depth/valid arrays here cost 2
+        # extra RTTs per frame on relay rigs — as much as tracking itself).
+        has_depth = self.cfg.sensor != "monocular"
+        need_close = has_depth and (
+            self.n_tracked_close < 100 and self.n_untracked_close > 70
+        )
 
         # Per-sensor reference-ratio thresholds (†thRefRatio 0.75/0.9, 0.4
         # while the map is tiny)

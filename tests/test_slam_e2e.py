@@ -74,7 +74,9 @@ class TestStereoPipeline:
                 gt.append(np.linalg.inv(Tcw_true)[:3, 3])
         assert len(est) >= len(pairs) - 1, len(est)
         err = ate_rmse(np.array(est), np.array(gt), with_scale=False)
-        assert err < 0.06, err
+        # measured 2.6 cm (round 2); round-1 recall fixes brought rotation-
+        # heavy ATE to reference class — bound with ~1.7x margin
+        assert err < 0.045, err
         m = slam.map
         # stereo depth must actually be measured (ur >= 0 on real features)
         kfs = m.valid_keyframes()
@@ -96,7 +98,7 @@ class TestRgbdPipeline:
                 gt.append(np.linalg.inv(Tcw_true)[:3, 3])
         assert len(est) == len(frames)  # never lost
         err = ate_rmse(np.array(est), np.array(gt), with_scale=False)
-        assert err < 0.05, err  # reference-class: cm-level on an easy scene
+        assert err < 0.035, err  # measured 2.0 cm (round 2), ~1.7x margin
         assert slam.tracking_state == TrackingState.OK
         m = slam.map
         assert len(m.valid_keyframes()) >= 3
@@ -134,7 +136,7 @@ class TestMonoPipeline:
                 gt.append(np.linalg.inv(Tcw_true)[:3, 3])
         assert len(est) >= 25  # initialized within the parallax budget
         err = ate_rmse(np.array(est), np.array(gt), with_scale=True)
-        assert err < 0.06, err
+        assert err < 0.035, err  # measured 1.7 cm (round 2), ~2x margin
         assert slam.tracking_state == TrackingState.OK
 
     def test_reset(self, mono_sequence):
@@ -171,4 +173,4 @@ class TestStereoPipeline:
                 gt.append(np.linalg.inv(Tcw)[:3, 3])
         assert len(est) >= n - 2, len(est)
         err = ate_rmse(np.array(est), np.array(gt), with_scale=False)
-        assert err < 0.06, err
+        assert err < 0.045, err  # measured 2.6 cm (round 2), ~1.7x margin
