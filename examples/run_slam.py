@@ -81,9 +81,19 @@ def main():
                 break
     else:  # euroc
         stereo = args.mode.endswith("stereo")
+        # Reference-format EuRoC settings carry LEFT./RIGHT. raw-camera
+        # calibration; remap raw cam0/cam1 frames exactly as the reference
+        # example does (†stereo_euroc.cc initUndistortRectifyMap + remap)
+        rectifier = None
+        if stereo and cfg.stereo_rectify is not None:
+            from orbslam2_tpu.utils.rectify import YamlRectifier
+
+            rectifier = YamlRectifier(cfg.stereo_rectify)
         for ts, left, right in datasets.euroc_sequence(args.sequence, stereo):
             t0 = time.perf_counter()
             if stereo and right is not None:
+                if rectifier is not None:
+                    left, right = rectifier(left, right)
                 slam.track_stereo(left, right, ts)
             else:
                 slam.track_monocular(left, ts)

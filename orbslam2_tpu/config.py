@@ -157,6 +157,11 @@ class SlamConfig:
     capacity: MapCapacityConfig = field(default_factory=MapCapacityConfig)
     runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
     vocabulary_path: Optional[str] = None
+    # Raw-camera stereo rectification blocks (reference EuRoC.yaml format:
+    # LEFT./RIGHT. {K, D, R, P, width, height} — †Examples/Stereo/
+    # stereo_euroc.cc ≈L60-110 reads these and builds remap tables). None
+    # when the settings file describes an already-rectified rig.
+    stereo_rectify: Optional[Dict[str, Any]] = None
 
     def __post_init__(self):
         if self.tracking.max_frames_between_kf == 0:
@@ -220,7 +225,41 @@ def load_config(path: str, sensor: str = "monocular") -> SlamConfig:
         min_th_fast=int(_get(d, "ORBextractor.minThFAST", 7)),
     )
     cfg = SlamConfig(sensor=sensor, camera=cam, extractor=ext)
+    cfg.stereo_rectify = _parse_rectify_blocks(d)
     return cfg
+
+
+def _parse_rectify_blocks(d: Dict[str, Any]) -> Optional[Dict[str, Any]]:
+    """Extract the reference's LEFT./RIGHT. rectification matrices if present.
+
+    The reference EuRoC stereo settings embed per-camera raw intrinsics K,
+    radial-tangential D, rectifying rotation R, and rectified projection P
+    as opencv-matrix blocks plus LEFT/RIGHT.{width,height}; its example
+    builds cv::initUndistortRectifyMap tables from them. Returns
+    {"left": {...}, "right": {...}} of numpy arrays, or None when absent.
+    """
+    import numpy as _np
+
+    if "LEFT.K" not in d or "RIGHT.K" not in d:
+        return None
+
+    def mat(key):
+        v = d[key]
+        return _np.asarray(v["data"], dtype=_np.float64).reshape(
+            int(v["rows"]), int(v["cols"])
+        )
+
+    out = {}
+    for side in ("LEFT", "RIGHT"):
+        out[side.lower()] = dict(
+            K=mat(f"{side}.K"),
+            D=mat(f"{side}.D").ravel(),
+            R=mat(f"{side}.R"),
+            P=mat(f"{side}.P"),
+            width=int(d.get(f"{side}.width", d.get("Camera.width", 0))),
+            height=int(d.get(f"{side}.height", d.get("Camera.height", 0))),
+        )
+    return out
 
 
 def config_to_dict(cfg: SlamConfig) -> Dict[str, Any]:

@@ -118,3 +118,33 @@ class EurocRectifier:
     def __call__(self, left: np.ndarray, right: np.ndarray):
         return (remap_bilinear(left, *self.map0),
                 remap_bilinear(right, *self.map1))
+
+
+class YamlRectifier:
+    """Rectifier from the reference's LEFT./RIGHT. settings blocks.
+
+    Drop-in equivalent of the reference example's
+    cv::initUndistortRectifyMap(K, D, R, P[:3,:3], size) + cv::remap pair
+    (†Examples/Stereo/stereo_euroc.cc ≈L60-110): `blocks` is the parsed
+    {"left": {K, D, R, P, width, height}, "right": {...}} payload from
+    `config.load_config` (`SlamConfig.stereo_rectify`).
+    """
+
+    def __init__(self, blocks: dict):
+        maps = {}
+        for side in ("left", "right"):
+            b = blocks[side]
+            K_new = np.asarray(b["P"])[:3, :3]
+            # build_rectify_map expects R_new rows = rectified axes in the
+            # raw camera frame; OpenCV's R maps raw -> rectified, same
+            # convention (x_rect = R x_raw).
+            maps[side] = build_rectify_map(
+                np.asarray(b["K"]), np.asarray(b["D"]), np.asarray(b["R"]),
+                K_new, int(b["width"]), int(b["height"]),
+            )
+        self.map0 = maps["left"]
+        self.map1 = maps["right"]
+
+    def __call__(self, left: np.ndarray, right: np.ndarray):
+        return (remap_bilinear(left, *self.map0),
+                remap_bilinear(right, *self.map1))
