@@ -143,6 +143,10 @@ class RuntimeConfig:
     local_ba_iters: int = 15   # 5 + 10 schedule in reference
     global_ba_iters: int = 10
     essential_graph_iters: int = 20
+    # shard the essential-graph edges over all visible devices (psum-reduced
+    # CG; parallel/sharded_pose_graph.py) — off by default: single-chip rigs
+    # gain nothing and the collective costs latency
+    mesh_essential_graph: bool = False
 
 
 @dataclass

@@ -494,21 +494,40 @@ class LoopCloser:
         fixed = np.zeros(K, bool)
         fixed[loop_kf] = True  # †loop KF fixed
 
-        res = pose_graph.optimize_pose_graph(
-            jnp.asarray(S_init), jnp.asarray(fixed), jnp.asarray(valid),
-            jnp.asarray(np.asarray(ei, np.int32)),
-            jnp.asarray(np.asarray(ej, np.int32)),
-            jnp.asarray(np.stack(Sij).astype(np.float32)),
-            jnp.ones(len(ei), bool),
-            iters=cfg.runtime.essential_graph_iters,
-            fix_scale=cfg.sensor != "monocular",
-            # temporal order for the CG chain preconditioner: creation-seq
-            # sorted, dead slots pushed to the end so they never split the
-            # backbone into anchored segments
-            order=jnp.asarray(np.argsort(
-                np.where(valid, m.kf_seq[:K], np.iinfo(np.int64).max)
-            ).astype(np.int32)),
-        )
+        # temporal order for the CG chain preconditioner: creation-seq
+        # sorted, dead slots pushed to the end so they never split the
+        # backbone into anchored segments
+        order = jnp.asarray(np.argsort(
+            np.where(valid, m.kf_seq[:K], np.iinfo(np.int64).max)
+        ).astype(np.int32))
+        ei_a = np.asarray(ei, np.int32)
+        ej_a = np.asarray(ej, np.int32)
+        Sij_a = np.stack(Sij).astype(np.float32)
+        ev_a = np.ones(len(ei), bool)
+        fix_scale = cfg.sensor != "monocular"
+        import jax as _jax
+
+        if cfg.runtime.mesh_essential_graph and len(_jax.devices()) > 1:
+            from .parallel import sharded_pose_graph as spg
+
+            mesh = spg.make_edge_mesh(_jax.devices())
+            fn = spg.make_sharded_pose_graph(
+                mesh, iters=cfg.runtime.essential_graph_iters,
+                fix_scale=fix_scale,
+            )
+            eis, ejs, Sijs, evs = spg.shard_edges(
+                mesh, ei_a, ej_a, Sij_a, ev_a)
+            res = fn(jnp.asarray(S_init), jnp.asarray(fixed),
+                     jnp.asarray(valid), eis, ejs, Sijs, evs, order)
+        else:
+            res = pose_graph.optimize_pose_graph(
+                jnp.asarray(S_init), jnp.asarray(fixed), jnp.asarray(valid),
+                jnp.asarray(ei_a), jnp.asarray(ej_a), jnp.asarray(Sij_a),
+                jnp.asarray(ev_a),
+                iters=cfg.runtime.essential_graph_iters,
+                fix_scale=fix_scale,
+                order=order,
+            )
         S_opt = np.asarray(res.poses)
 
         # write back poses ([R t/s]) and transform points via reference KF.

@@ -107,13 +107,53 @@ def optimize_pose_graph(
     # CG chain preconditioner (kf_seq-sorted, dead slots last); defaults to
     # slot order, which is correct until slot recycling reorders creation
 ) -> PoseGraphResult:
+    return pose_graph_impl(
+        S_init, fixed, valid, edge_i, edge_j, edge_Sij, edge_valid,
+        iters=iters, fix_scale=fix_scale, solver=solver, order=order,
+        axis_name=None,
+    )
+
+
+def pose_graph_impl(
+    S_init, fixed, valid, edge_i, edge_j, edge_Sij, edge_valid,
+    iters=20, fix_scale=False, solver="auto", order=None,
+    axis_name: str | None = None,
+) -> PoseGraphResult:
+    """Unjitted body; `axis_name` enables the edge-sharded (shard_map) path.
+
+    Sharded mode (SURVEY §5.7: "pose-graph optimization shards edges the
+    same way"): each device holds an edge shard (pad E to a multiple of the
+    mesh size with edge_valid=False rows). The heavy per-edge work — the
+    autodiff linearization (jacfwd ~ 14 residual evaluations per edge) and
+    the CG matvec block products — runs on the local shard; vertex-space
+    reductions (gradient scatter, CG matvec output) are psum-reduced, a
+    (K, 7) all-reduce each. Vertex-level structure (gauge recentering, the
+    chain preconditioner scans) is replicated, and the full edge set is
+    all-gathered once at entry for the cheap global pieces (chain
+    re-integration lookup, loop-ramp init, total cost) — O(E * 18) floats.
+    Only the CG solver is supported under sharding.
+    """
     K = S_init.shape[0]
     D = 7
     if order is None:
         order = jnp.arange(K)
     ew = edge_valid.astype(S_init.dtype)
     freeze = fixed | ~valid
-    use_dense = (K <= DENSE_MAX_K) if solver == "auto" else (solver == "dense")
+    if axis_name is not None:
+        use_dense = False
+
+        def _gather(a):
+            g = jax.lax.all_gather(a, axis_name, axis=0)
+            return g.reshape(-1, *a.shape[1:])
+
+        edge_i_f = _gather(edge_i)
+        edge_j_f = _gather(edge_j)
+        edge_Sij_f = _gather(edge_Sij)
+        ew_f = _gather(ew)
+    else:
+        use_dense = (K <= DENSE_MAX_K) if solver == "auto" \
+            else (solver == "dense")
+        edge_i_f, edge_j_f, edge_Sij_f, ew_f = edge_i, edge_j, edge_Sij, ew
 
     # ---- gauge recentering (idea 2) -----------------------------------
     centers = jax.vmap(
@@ -135,16 +175,23 @@ def optimize_pose_graph(
     M_e = jax.vmap(
         lambda j, i: geo.sim3_compose(S0[j], geo.sim3_inverse(S0[i]))
     )(edge_j, edge_i)
+    if axis_name is not None:
+        M_e_f = jax.vmap(
+            lambda j, i: geo.sim3_compose(S0[j], geo.sim3_inverse(S0[i]))
+        )(edge_j_f, edge_i_f)
+    else:
+        M_e_f = M_e
 
     def edge_residuals(x):
+        """Residuals over the FULL edge set (replicated in sharded mode)."""
         z = jnp.zeros(D, S0.dtype)
         return jax.vmap(
             lambda i, j, M, Sij: _edge_residual(z, z, x[i], x[j], M, Sij)
-        )(edge_i, edge_j, M_e, edge_Sij)
+        )(edge_i_f, edge_j_f, M_e_f, edge_Sij_f)
 
     def total_cost(x):
         r = edge_residuals(x)
-        return jnp.sum(jnp.sum(r * r, axis=1) * ew)
+        return jnp.sum(jnp.sum(r * r, axis=1) * ew_f)
 
     # chain preconditioner base relatives (order-permuted, x-independent)
     ord_ = order
@@ -166,8 +213,10 @@ def optimize_pose_graph(
     # curved valley (where f32 gradient noise makes it wander).
     pos = jnp.argsort(order)  # chain position of each vertex slot
     x_zero = jnp.zeros((K, D), S0.dtype)
-    E = edge_i.shape[0]
-    keys = jnp.where(edge_valid, edge_i * K + edge_j, jnp.int32(2**30))
+    E = edge_i_f.shape[0]
+    keys = jnp.where(
+        ew_f > 0, edge_i_f * K + edge_j_f, jnp.int32(2**30)
+    )
     perm = jnp.argsort(keys)
     keys_sorted = keys[perm]
 
@@ -181,10 +230,10 @@ def optimize_pose_graph(
     rev = _lookup(b_ids * K + a_ids)
     R_link = jnp.where(
         (fwd >= 0)[:, None],
-        edge_Sij[jnp.maximum(fwd, 0)],
+        edge_Sij_f[jnp.maximum(fwd, 0)],
         jnp.where(
             (rev >= 0)[:, None],
-            jax.vmap(geo.sim3_inverse)(edge_Sij[jnp.maximum(rev, 0)]),
+            jax.vmap(geo.sim3_inverse)(edge_Sij_f[jnp.maximum(rev, 0)]),
             M_ch,  # unmeasured link: keep the current relative
         ),
     )
@@ -211,16 +260,16 @@ def optimize_pose_graph(
     # drift the re-integration left (or all of it when the chain has no
     # measured edges). Both inits are guarded by the total cost.
     r0_edges = edge_residuals(x_best)
-    span = jnp.abs(pos[edge_i] - pos[edge_j]).astype(S0.dtype)
-    score = jnp.linalg.norm(r0_edges, axis=1) * span * ew
+    span = jnp.abs(pos[edge_i_f] - pos[edge_j_f]).astype(S0.dtype)
+    score = jnp.linalg.norm(r0_edges, axis=1) * span * ew_f
     eidx = jnp.argmax(score)
-    li = edge_i[eidx]
+    li = edge_i_f[eidx]
     e_loop = r0_edges[eidx]
     if fix_scale:
         e_loop = e_loop.at[6].set(0.0)
-    swap = pos[li] > pos[edge_j[eidx]]  # far end of the edge in chain order
-    pa = jnp.minimum(pos[li], pos[edge_j[eidx]]).astype(S0.dtype)
-    pb = jnp.maximum(pos[li], pos[edge_j[eidx]]).astype(S0.dtype)
+    swap = pos[li] > pos[edge_j_f[eidx]]  # far end of the edge in chain order
+    pa = jnp.minimum(pos[li], pos[edge_j_f[eidx]]).astype(S0.dtype)
+    pb = jnp.maximum(pos[li], pos[edge_j_f[eidx]]).astype(S0.dtype)
     # full far-endpoint correction, world-side: G = S_i^-1 exp(-+e) S_i
     # with S_i the CURRENT pose exp(x_best_i) S0_i
     Si = geo.sim3_compose(geo.sim3_exp(x_best[li]), S0[li])
@@ -267,6 +316,8 @@ def optimize_pose_graph(
         b = (
             jnp.zeros((K, D), S0.dtype).at[edge_i].add(bi).at[edge_j].add(bj)
         )
+        if axis_name is not None:
+            b = jax.lax.psum(b, axis_name)
         b = jnp.where(freeze[:, None], 0.0, b)
         diag = jnp.arange(K)
 
@@ -364,6 +415,8 @@ def optimize_pose_graph(
                     .at[edge_i].add(yi)
                     .at[edge_j].add(yj)
                 )
+                if axis_name is not None:
+                    y = jax.lax.psum(y, axis_name)
                 y = y + lam * v
                 return jnp.where(freeze[:, None], v, y)
 
