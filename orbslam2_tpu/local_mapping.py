@@ -192,14 +192,30 @@ class LocalMapper:
 
     # ------------------------------------------------------------------
     def process_keyframe(self, kf: int, run_ba: bool = True):
-        self.map.recycle_free_slots()
-        self._cull_map_points(kf)
-        self._create_new_points(kf)
-        self._fuse_neighbors(kf)
+        for phase in self.keyframe_phases(kf, run_ba):
+            phase()
+
+    def keyframe_phases(self, kf: int, run_ba: bool = True):
+        """The †ProcessNewKeyFrame pipeline as individually schedulable
+        phases. The async worker acquires the map lock PER PHASE (not for
+        the whole keyframe) so the tracker's keyframe insertion waits at
+        most one phase, not a full mapping round; each phase re-reads map
+        state, so interleaved tracker mutations are safe."""
+
+        def _finish():
+            self._cull_keyframes(kf)
+            self.map.version += 1
+
+        phases = [
+            self.map.recycle_free_slots,
+            lambda: self._cull_map_points(kf),
+            lambda: self._create_new_points(kf),
+            lambda: self._fuse_neighbors(kf),
+        ]
         if run_ba:
-            self.local_bundle_adjustment(kf)
-        self._cull_keyframes(kf)
-        self.map.version += 1
+            phases.append(lambda: self.local_bundle_adjustment(kf))
+        phases.append(_finish)
+        return phases
 
     # ------------------------------------------------------------------
     # MapPointCulling (†LocalMapping::MapPointCulling, SURVEY §2.9)

@@ -23,7 +23,7 @@ from .map.keyframe_database import KeyFrameDatabase
 from .map.state import MapState
 from .models.camera import Camera
 from .ops import (
-    ba, bow, geometry as geo, matching, pose_graph, sim3_opt, sim3_solver,
+    ba, matching, pose_graph, sim3_np, sim3_opt, sim3_solver,
 )
 
 
@@ -49,7 +49,10 @@ class LoopCloser:
         closed = False
         cand = self._detect_loop(kf)
         if cand is not None:
-            ok = self._compute_and_correct(kf, cand, run_global_ba)
+            # Sim3 compute + correction mutate poses/points: hold the map
+            # lock here (detection above is stale-tolerant read-only)
+            with self.map.lock:
+                ok = self._compute_and_correct(kf, cand, run_global_ba)
             if ok:
                 self.last_loop_kf = int(self.map.kf_seq[kf])
                 self.loops_closed += 1
@@ -76,11 +79,17 @@ class LoopCloser:
         if not self.kfdb.in_db[kf]:
             own_bow = self.kfdb.compute_bow(m.kf_desc[kf], m.kf_feat_valid[kf])
             self.kfdb.bow_mat[kf] = own_bow
-        scores = [
-            float(bow.l1_score(jnp.asarray(own_bow), jnp.asarray(self.kfdb.bow_mat[int(c)])))
-            for c in covis if self.kfdb.in_db[int(c)]
-        ]
-        min_score = min(scores) if scores else 0.0
+        # L1 similarity vs each covisible, vectorized on host: these are
+        # host-resident (W,) vectors — a device round trip per covisible
+        # would cost ~30 ms RTT each on relay-attached rigs
+        cin = np.asarray([int(c) for c in covis if self.kfdb.in_db[int(c)]])
+        if len(cin):
+            s = 1.0 - 0.5 * np.abs(
+                self.kfdb.bow_mat[cin] - own_bow[None, :]
+            ).sum(-1)
+            min_score = float(s.min())
+        else:
+            min_score = 0.0
 
         candidates = self.kfdb.detect_loop_candidates(kf, min_score)
         if not candidates:
@@ -259,9 +268,9 @@ class LoopCloser:
         if len(mps) == 0:
             return 0
         # corrected current pose: Scw = S12 * S(T_loop)
-        S_loop = np.asarray(geo.sim3_from_se3(jnp.asarray(m.kf_pose[loop_kf])))
-        Scw = np.asarray(geo.sim3_compose(jnp.asarray(S12), jnp.asarray(S_loop)))
-        pc = np.asarray(geo.sim3_apply(jnp.asarray(Scw)[None], jnp.asarray(m.mp_pos[mps])))
+        S_loop = sim3_np.from_se3(m.kf_pose[loop_kf])
+        Scw = sim3_np.compose(S12, S_loop)
+        pc = sim3_np.apply(Scw[None], m.mp_pos[mps])
         z = pc[:, 2]
         fx = float(np.asarray(self.cam.fx)); fy = float(np.asarray(self.cam.fy))
         cx = float(np.asarray(self.cam.cx)); cy = float(np.asarray(self.cam.cy))
@@ -298,40 +307,33 @@ class LoopCloser:
         kfs = m.valid_keyframes()
         pre_poses = {int(k): m.kf_pose[k].copy() for k in kfs}
 
-        # corrected Sim3 of the current KF and its covisible group
-        S_loop = np.asarray(geo.sim3_from_se3(jnp.asarray(m.kf_pose[loop_kf])))
-        Scw_cur = np.asarray(geo.sim3_compose(jnp.asarray(S12), jnp.asarray(S_loop)))
+        # corrected Sim3 of the current KF and its covisible group —
+        # batched host algebra (8-float bookkeeping, no device round trips)
+        S_loop = sim3_np.from_se3(m.kf_pose[loop_kf])
+        Scw_cur = sim3_np.compose(S12.astype(np.float32), S_loop)
         group = [kf] + [int(x) for x in m.covisible_keyframes(kf)]
         T_cur = m.kf_pose[kf]
-        corrected: Dict[int, np.ndarray] = {}
-        for k in group:
-            T_k = m.kf_pose[k]
-            S_k_c = np.asarray(geo.sim3_from_se3(
-                jnp.asarray((T_k @ np.linalg.inv(T_cur)).astype(np.float32))
-            ))
-            corrected[k] = np.asarray(
-                geo.sim3_compose(jnp.asarray(S_k_c), jnp.asarray(Scw_cur))
-            )
+        T_grp = m.kf_pose[np.asarray(group)]                    # (G, 4, 4)
+        S_k_c = sim3_np.from_se3(
+            (T_grp @ np.linalg.inv(T_cur)[None]).astype(np.float32))
+        corr_arr = sim3_np.compose(S_k_c, Scw_cur[None])         # (G, 8)
+        corrected: Dict[int, np.ndarray] = {
+            k: corr_arr[i] for i, k in enumerate(group)
+        }
 
         # move the group's map points and poses (†CorrectLoop map update)
-        moved: Set[int] = set()
-        for k in group:
+        moved = np.zeros(m.n_mp, bool)
+        for i, k in enumerate(group):
             mps = np.unique(m.kf_mp[k])
             mps = mps[mps >= 0]
-            mps = mps[m.mp_valid[mps]]
-            S_old = np.asarray(geo.sim3_from_se3(jnp.asarray(pre_poses[k])))
-            S_new_inv = np.asarray(geo.sim3_inverse(jnp.asarray(corrected[k])))
-            for mp in mps:
-                if mp in moved:
-                    continue
-                moved.add(int(mp))
-                p_cam = np.asarray(geo.sim3_apply(
-                    jnp.asarray(S_old)[None], jnp.asarray(m.mp_pos[mp][None])
-                ))[0]
-                m.mp_pos[mp] = np.asarray(geo.sim3_apply(
-                    jnp.asarray(S_new_inv)[None], jnp.asarray(p_cam[None])
-                ))[0]
-            m.kf_pose[k] = np.asarray(geo.se3_from_sim3(jnp.asarray(corrected[k])))
+            mps = mps[m.mp_valid[mps] & ~moved[mps]]
+            if len(mps):
+                moved[mps] = True
+                # p' = S_new^-1 ( S_old p ), one composed transform
+                M = sim3_np.compose(sim3_np.inverse(corr_arr[i]),
+                                    sim3_np.from_se3(pre_poses[k]))
+                m.mp_pos[mps] = sim3_np.apply(M[None], m.mp_pos[mps])
+            m.kf_pose[k] = sim3_np.to_se3(corr_arr[i])
 
         m.loop_edges.append((kf, loop_kf))
         m.version += 1
@@ -463,34 +465,33 @@ class LoopCloser:
         S_init[:, 0] = 1.0
         S_init[:, 1] = 1.0
         valid = m.kf_valid[:K].copy()
-        for k in np.where(valid)[0]:
-            S_init[k] = np.asarray(geo.sim3_from_se3(jnp.asarray(m.kf_pose[k])))
+        vk = np.where(valid)[0]
+        S_init[vk] = sim3_np.from_se3(m.kf_pose[vk].astype(np.float32))
 
         edges = self._essential_edges(pre_poses)
         if len(edges) < 2:
             return
-        ei, ej, Sij = [], [], []
+        # measurement from PRE-correction poses (odometry-consistent),
+        # except edges inside the corrected set use corrected relatives and
+        # the loop edge uses the corrected current pose — assembled as one
+        # batched host Sim3 pass over the edge list
+        loop_edge = (min(kf, loop_kf), max(kf, loop_kf))
+
+        def end_sim3(a, b, use_corr):
+            if use_corr and a in corrected:
+                return corrected[a]
+            T = pre_poses.get(a, m.kf_pose[a])
+            return sim3_np.from_se3(T.astype(np.float32))
+
+        Sa_l, Sb_l, ei, ej = [], [], [], []
         for a, b in edges:
+            both = a in corrected and b in corrected
+            use_corr = both or (min(a, b), max(a, b)) == loop_edge
             ei.append(a)
             ej.append(b)
-            # measurement from PRE-correction poses (odometry-consistent),
-            # except edges inside the corrected set use corrected relatives
-            Ta = pre_poses.get(a, m.kf_pose[a])
-            Tb = pre_poses.get(b, m.kf_pose[b])
-            if a in corrected and b in corrected:
-                Sa, Sb = corrected[a], corrected[b]
-            elif (min(a, b), max(a, b)) == (min(kf, loop_kf), max(kf, loop_kf)):
-                # the loop edge uses the corrected current pose
-                Sa = corrected.get(a) if a in corrected else np.asarray(
-                    geo.sim3_from_se3(jnp.asarray(Ta)))
-                Sb = corrected.get(b) if b in corrected else np.asarray(
-                    geo.sim3_from_se3(jnp.asarray(Tb)))
-            else:
-                Sa = np.asarray(geo.sim3_from_se3(jnp.asarray(Ta)))
-                Sb = np.asarray(geo.sim3_from_se3(jnp.asarray(Tb)))
-            Sij.append(np.asarray(geo.sim3_compose(
-                jnp.asarray(Sa), geo.sim3_inverse(jnp.asarray(Sb))
-            )))
+            Sa_l.append(end_sim3(a, b, use_corr))
+            Sb_l.append(end_sim3(b, a, use_corr))
+        Sij = sim3_np.compose(np.stack(Sa_l), sim3_np.inverse(np.stack(Sb_l)))
         fixed = np.zeros(K, bool)
         fixed[loop_kf] = True  # †loop KF fixed
 
@@ -502,7 +503,7 @@ class LoopCloser:
         ).astype(np.int32))
         ei_a = np.asarray(ei, np.int32)
         ej_a = np.asarray(ej, np.int32)
-        Sij_a = np.stack(Sij).astype(np.float32)
+        Sij_a = Sij.astype(np.float32)
         ev_a = np.ones(len(ei), bool)
         fix_scale = cfg.sensor != "monocular"
         import jax as _jax
@@ -535,22 +536,17 @@ class LoopCloser:
         # — i.e. S_init (entry state, which already includes the loop-group
         # correction). Using pre-correction poses here would apply the
         # correction to the loop group twice.
+        # per-KF correction transforms, batched: M_k = S_opt[k]^-1 ∘ S_old[k]
+        M = sim3_np.compose(sim3_np.inverse(S_opt[vk]), S_init[vk])
         mp_done = np.zeros(m.n_mp, bool)
-        for k in np.where(valid)[0]:
-            k = int(k)
-            S_old = S_init[k]
+        for i, k in enumerate(vk):
             # p' = S_new^-1 ( S_old p )  (both applied in world coords)
             mps = np.where((m.mp_ref_kf[: m.n_mp] == k) & m.mp_valid[: m.n_mp]
                            & ~mp_done[: m.n_mp])[0]
             if len(mps):
-                p = m.mp_pos[mps]
-                pc = np.asarray(geo.sim3_apply(
-                    jnp.asarray(S_old)[None], jnp.asarray(p)))
-                pw = np.asarray(geo.sim3_apply(
-                    geo.sim3_inverse(jnp.asarray(S_opt[k]))[None], jnp.asarray(pc)))
-                m.mp_pos[mps] = pw
+                m.mp_pos[mps] = sim3_np.apply(M[i][None], m.mp_pos[mps])
                 mp_done[mps] = True
-            m.kf_pose[k] = np.asarray(geo.se3_from_sim3(jnp.asarray(S_opt[k])))
+        m.kf_pose[vk] = sim3_np.to_se3(S_opt[vk])
         m.update_point_attributes(np.where(mp_done)[0])
 
     # ------------------------------------------------------------------
@@ -578,12 +574,18 @@ class LoopCloser:
         m = self.map
         cfg = self.cfg
         iters = iters or cfg.runtime.global_ba_iters
-        with m.lock:
+        if not self._lock_abortable(abort_check):
+            return  # superseded while waiting for the map lock
+        try:
             snap = self._gba_gather(max_kfs, max_points, obs_cap)
+            if snap is not None:
+                kfs = snap[1]
+                bef_poses = {int(k): m.kf_pose[k].copy() for k in kfs}
+        finally:
+            m.lock.release()
         if snap is None:
             return
         prob, kfs, mp_ids, opt_mask, n_ids = snap
-        bef_poses = {int(k): m.kf_pose[k].copy() for k in kfs}
 
         if abort_check is None:
             res = self._gba_solve(prob, iters, use_mesh)
@@ -601,12 +603,30 @@ class LoopCloser:
                 done += n
                 if abort_check() and not last:
                     return  # superseded: discard (†mbStopGBA -> return)
-        with m.lock:
+        if not self._lock_abortable(abort_check):
+            return  # superseded while waiting for the map lock
+        try:
             self._gba_write_back(
                 kfs, opt_mask, np.asarray(res.poses), bef_poses,
                 mp_ids, np.asarray(res.points)[:n_ids],
             )
             m.version += 1
+        finally:
+            m.lock.release()
+
+    def _lock_abortable(self, abort_check) -> bool:
+        """Acquire the map lock, polling the abort flag while blocked.
+
+        A superseding loop closure holds the map lock while it joins the
+        running GBA task (launch_global_ba_background); a plain blocking
+        acquire there would deadlock — the abort flag must win."""
+        if abort_check is None:
+            self.map.lock.acquire()
+            return True
+        while not self.map.lock.acquire(timeout=0.05):
+            if abort_check():
+                return False
+        return True
 
     def _gba_gather(self, max_kfs, max_points, obs_cap):
         """Build the statically-shaped GBA problem from the live map."""

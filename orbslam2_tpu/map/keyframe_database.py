@@ -62,10 +62,17 @@ class KeyFrameDatabase:
         live[exclude[exclude >= 0]] = False
         if not live.any():
             return None
-        scores = np.array(bow.score_against(jnp.asarray(query_bow), jnp.asarray(self.bow_mat)))
-        ncommon = np.array(bow.common_words(jnp.asarray(query_bow), jnp.asarray(self.bow_mat)))
-        scores[~live] = -1.0
-        ncommon[~live] = 0
+        # Host-side retrieval: the BoW matrix lives in host memory between
+        # queries, so a device matvec here would re-upload the whole (K, W)
+        # database per query. One vectorized numpy pass over the LIVE rows
+        # is ~free at any realistic K.
+        rows = np.where(live)[0]
+        db = self.bow_mat[rows]
+        scores = np.full(live.shape[0], -1.0, np.float32)
+        ncommon = np.zeros(live.shape[0], np.int32)
+        # L1 similarity 1 - 0.5|a-b|_1 (†ScoringObject.cpp:L1Scoring)
+        scores[rows] = 1.0 - 0.5 * np.abs(db - query_bow[None, :]).sum(-1)
+        ncommon[rows] = ((db > 0) & (query_bow > 0)[None, :]).sum(-1)
         return scores, ncommon, live
 
     def detect_loop_candidates(self, kf: int, min_score: float) -> List[int]:

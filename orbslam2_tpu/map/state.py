@@ -83,7 +83,9 @@ class MapState:
     # rate, so one lock costs nothing and removes element-level races.
     # Reads (tracking gathers) stay lock-free (stale-but-consistent-enough,
     # same semantics the reference's fine-grained locks provide).
-    lock: threading.Lock = field(default_factory=threading.Lock)
+    # RLock: loop correction holds it while synchronous GBA re-acquires it
+    # for its gather/write-back sections
+    lock: threading.RLock = field(default_factory=threading.RLock)
 
     n_kf: int = 0                # monotone high-water marks
     n_mp: int = 0

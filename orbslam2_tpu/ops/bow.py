@@ -181,15 +181,7 @@ def l1_score(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return 1.0 - 0.5 * jnp.sum(jnp.abs(a - b), axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def score_against(query: jnp.ndarray, db: jnp.ndarray) -> jnp.ndarray:
-    """(W,) query vs (K, W) database -> (K,) L1 scores (the inverted file
-    becomes a dense matvec)."""
-    return l1_score(query[None, :], db)
-
-
-@functools.partial(jax.jit, static_argnames=())
-def common_words(query: jnp.ndarray, db: jnp.ndarray) -> jnp.ndarray:
-    """(K,) count of shared nonzero words (the minCommonWords gate)."""
-    q = (query > 0).astype(jnp.float32)
-    return jnp.round((db > 0).astype(jnp.float32) @ q).astype(jnp.int32)
+# Database retrieval (L1 scores + common-word counts over the (K, W)
+# matrix) runs host-side in map/keyframe_database.py: the matrix lives in
+# host memory between queries, so a device matvec would pay a full re-upload
+# per query on top of the dispatch RTT.

@@ -67,8 +67,11 @@ class AsyncMappingMixin:
                 self._loop_queue.put(None)
                 break
             try:
-                with self.map.lock:
-                    self.local_mapper.process_keyframe(kf)
+                # lock per phase: the tracker's keyframe insertion then
+                # waits at most one phase, not a full mapping round
+                for phase in self.local_mapper.keyframe_phases(kf):
+                    with self.map.lock:
+                        phase()
                 if self.loop_closer is not None and self.map.kf_valid[kf]:
                     self._loop_queue.put(kf)
             except Exception as e:  # surface, don't kill the worker silently
@@ -86,8 +89,10 @@ class AsyncMappingMixin:
             if kf is None:
                 break
             try:
-                with self.map.lock:
-                    self.loop_closer.process_keyframe(kf)
+                # detection is read-only (stale-tolerant, like tracking
+                # reads); only the correction mutates — process_keyframe
+                # takes the map lock itself around that phase
+                self.loop_closer.process_keyframe(kf)
             except Exception as e:
                 import traceback
 
