@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--traj-out", default="CameraTrajectory.txt")
     ap.add_argument("--kf-traj-out", default="KeyFrameTrajectory.txt")
     ap.add_argument("--save-map", default="")
+    ap.add_argument("--viewer-port", type=int, default=-1,
+                    help="serve the interactive live map at this port "
+                         "(0 = ephemeral; default off)")
     args = ap.parse_args()
 
     sensor = {"mono": "monocular", "rgbd": "rgbd", "stereo": "stereo"}[
@@ -47,6 +50,12 @@ def main():
     ]
     cfg = load_config(args.settings, sensor=sensor)
     slam = SlamSystem(cfg)
+    viewer = None
+    if args.viewer_port >= 0:
+        from orbslam2_tpu.utils.http_viewer import HttpViewer
+
+        viewer = HttpViewer(slam, port=args.viewer_port)
+        print(f"live viewer: http://127.0.0.1:{viewer.port}/")
 
     times = []
     n = 0
@@ -102,6 +111,8 @@ def main():
             if args.max_frames and n >= args.max_frames:
                 break
 
+    if viewer is not None:
+        viewer.stop()
     slam.shutdown()
     # †Examples mains print median/mean tracking time at exit
     ts_sorted = sorted(times)
