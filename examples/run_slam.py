@@ -59,6 +59,31 @@ def main():
 
     times = []
     n = 0
+    try:
+        _run_frames(args, cfg, slam, times)
+        n = len(times)
+    finally:
+        if viewer is not None:
+            viewer.stop()
+        slam.shutdown()
+    # †Examples mains print median/mean tracking time at exit
+    ts_sorted = sorted(times)
+    print(f"frames: {n}")
+    if n:
+        print(f"median tracking time: {ts_sorted[n // 2]*1000:.2f} ms")
+        print(f"mean tracking time:   {np.mean(times)*1000:.2f} ms")
+    if args.mode.startswith("kitti"):
+        slam.save_trajectory_kitti(args.traj_out)
+    else:
+        slam.save_trajectory_tum(args.traj_out)
+    slam.save_keyframe_trajectory_tum(args.kf_traj_out)
+    if args.save_map:
+        slam.save_map(args.save_map)
+        print(f"map saved to {args.save_map}")
+
+
+def _run_frames(args, cfg, slam, times):
+    n = 0
     if args.mode == "tum-rgbd":
         it = datasets.tum_rgbd_sequence(args.sequence, cfg.camera.depth_map_factor or 5000.0)
         for ts, img, depth in it:
@@ -110,24 +135,6 @@ def main():
             n += 1
             if args.max_frames and n >= args.max_frames:
                 break
-
-    if viewer is not None:
-        viewer.stop()
-    slam.shutdown()
-    # †Examples mains print median/mean tracking time at exit
-    ts_sorted = sorted(times)
-    print(f"frames: {n}")
-    if n:
-        print(f"median tracking time: {ts_sorted[n // 2]*1000:.2f} ms")
-        print(f"mean tracking time:   {np.mean(times)*1000:.2f} ms")
-    if args.mode.startswith("kitti"):
-        slam.save_trajectory_kitti(args.traj_out)
-    else:
-        slam.save_trajectory_tum(args.traj_out)
-    slam.save_keyframe_trajectory_tum(args.kf_traj_out)
-    if args.save_map:
-        slam.save_map(args.save_map)
-        print(f"map saved to {args.save_map}")
 
 
 if __name__ == "__main__":

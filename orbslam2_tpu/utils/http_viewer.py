@@ -145,7 +145,14 @@ def build_state(slam, max_points: int = 20000) -> dict:
         ]
     traj = getattr(slam.tracker, "trajectory", None)
     if traj:
-        centers = np.stack([np.linalg.inv(T)[:3, 3] for _, _, T in traj])
+        poses = traj
+        if len(poses) > max_points:  # same stride bound as points
+            stride = int(np.ceil(len(poses) / max_points))
+            # always keep the latest pose so the camera marker is current
+            poses = list(poses[::stride]) + [poses[-1]]
+        Ts = np.stack([T for _, _, T in poses])  # (n,4,4) world->cam
+        # camera center c = -R^T t (cheaper than inverting the 4x4)
+        centers = -np.einsum("nij,ni->nj", Ts[:, :3, :3], Ts[:, :3, 3])
         state["trajectory"] = np.round(centers, 3).tolist()
         state["camera"] = state["trajectory"][-1]
     return state
@@ -172,9 +179,10 @@ class HttpViewer:
                 pass
 
             def do_GET(self):
-                if self.path in ("/", "/index.html"):
+                path = self.path.split("?", 1)[0]  # tolerate cache-busting queries
+                if path in ("/", "/index.html"):
                     body, ctype = _PAGE.encode(), "text/html; charset=utf-8"
-                elif self.path == "/state.json":
+                elif path == "/state.json":
                     body, ctype = viewer._state_bytes(), "application/json"
                 else:
                     self.send_error(404)

@@ -7,6 +7,7 @@ a small real MapState (snapshot contents, downsampling, lifecycle).
 
 import json
 import types
+import urllib.error
 import urllib.request
 
 import numpy as np
