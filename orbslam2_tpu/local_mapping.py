@@ -140,6 +140,25 @@ def _triangulate_neighbors_kernel(
       K, baseline, bf, sf)
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _triangulate_neighbors_mirror(
+    mir_desc, mir_xy, mir_oct, mir_ur, mir_depth,
+    kf, nb_arr, avail1, avail2, T1, T2, nb_ok,
+    K, baseline, bf, sf,
+):
+    """Mirror variant: the per-keyframe feature arrays are already device
+    resident (MapState.dev_kf); only indices, availability masks, and poses
+    travel host->device per call."""
+    return jax.vmap(
+        _triangulate_one_neighbor,
+        in_axes=(None,) * 7 + (0,) * 8 + (None,) * 4,
+    )(mir_desc[kf], mir_xy[kf], mir_oct[kf], avail1, mir_depth[kf],
+      mir_ur[kf], T1,
+      mir_desc[nb_arr], mir_xy[nb_arr], mir_oct[nb_arr], avail2,
+      mir_depth[nb_arr], mir_ur[nb_arr], T2, nb_ok,
+      K, baseline, bf, sf)
+
+
 def _fuse_match_body(mp_pos, mp_desc, mp_valid, Tcw, kp_xy, kp_desc,
                      kp_octave, kp_valid, cam: Camera, scale_factor,
                      radius_mult):
@@ -178,11 +197,34 @@ def _fuse_match_batch(mp_pos, mp_desc, mp_valid, Tcw, kp_xy, kp_desc,
       cam, scale_factor, radius_mult)
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _fuse_match_mirror(mp_pos_u, mp_desc_u, pv_u, src_of_dir,
+                       mir_desc, mir_xy, mir_oct, mir_fv, dst_of_dir, Tcw,
+                       cam: Camera, scale_factor, radius_mult):
+    """Mirror variant of _fuse_match_batch: the destination keyframes'
+    feature arrays come from the device-resident mirror (indexed by
+    dst_of_dir) and the source point windows are deduplicated host-side
+    (src_of_dir indexes into the unique-source axis — the current keyframe
+    appears as the source of half the directions, so uploading its window
+    once instead of N times halves the H2D bytes)."""
+    return jax.vmap(
+        _fuse_match_body,
+        in_axes=(0,) * 8 + (None, None, None),
+    )(mp_pos_u[src_of_dir], mp_desc_u[src_of_dir], pv_u[src_of_dir], Tcw,
+      mir_xy[dst_of_dir], mir_desc[dst_of_dir], mir_oct[dst_of_dir],
+      mir_fv[dst_of_dir], cam, scale_factor, radius_mult)
+
+
 class LocalMapper:
     def __init__(self, cfg: SlamConfig, slam_map: MapState, cam: Camera):
         self.cfg = cfg
         self.map = slam_map
         self.cam = cam
+        # cached host scalars (Camera fields are device arrays; pulling
+        # them blocks a full RTT on relay rigs)
+        self._K_np = np.asarray(cam.K, np.float32)
+        self._bf = float(np.asarray(cam.bf))
+        self._baseline = self._bf / max(float(self._K_np[0, 0]), 1e-8)
         self.recent_points: List[Tuple[int, int]] = []  # (mp, created_at_kf)
         self.obs_cap = 8  # window observation cap for local BA
         # InterruptBA analog (†LocalMapping::mbAbortBA): the async pipeline
@@ -202,20 +244,48 @@ class LocalMapper:
         most one phase, not a full mapping round; each phase re-reads map
         state, so interleaved tracker mutations are safe."""
 
+        lock = self.map.lock
+
+        def _locked(fn):
+            def run():
+                with lock:
+                    fn()
+            return run
+
         def _finish():
             self._cull_keyframes(kf)
             self.map.version += 1
 
+        # create/fuse/BA manage the lock internally (gather + commit only);
+        # the host-only phases are cheap enough to hold it throughout
         phases = [
-            self.map.recycle_free_slots,
-            lambda: self._cull_map_points(kf),
+            _locked(self.map.recycle_free_slots),
+            _locked(lambda: self._refresh_tracked_points(kf)),
+            _locked(lambda: self._cull_map_points(kf)),
             lambda: self._create_new_points(kf),
             lambda: self._fuse_neighbors(kf),
         ]
         if run_ba:
             phases.append(lambda: self.local_bundle_adjustment(kf))
-        phases.append(_finish)
+        phases.append(_locked(_finish))
         return phases
+
+    # ------------------------------------------------------------------
+    # ProcessNewKeyFrame (†LocalMapping::ProcessNewKeyFrame): refresh the
+    # distinctive descriptor / normal / depth band of every pre-existing
+    # point the new keyframe now observes. The tracker only binds the
+    # observations (cheap); this full median-Hamming pass runs here, off
+    # the tracking thread in async mode.
+    # ------------------------------------------------------------------
+    def _refresh_tracked_points(self, kf: int):
+        m = self.map
+        mps = m.kf_mp[kf]
+        mps = np.unique(mps[mps >= 0])
+        # only points with >1 observation need the refresh: fresh
+        # single-observation spawns were closed-form-initialized at creation
+        mps = mps[m.mp_n_obs[mps] > 1]
+        if len(mps):
+            m.update_point_attributes(mps)
 
     # ------------------------------------------------------------------
     # MapPointCulling (†LocalMapping::MapPointCulling, SURVEY §2.9)
@@ -243,6 +313,27 @@ class LocalMapper:
     # CreateNewMapPoints (†LocalMapping::CreateNewMapPoints)
     # ------------------------------------------------------------------
     def _create_new_points(self, kf: int):
+        """Gather under the map lock, run the triangulation kernel WITHOUT
+        it (device round trips must not stall the tracker's keyframe
+        insertion), commit under the lock with availability re-checked
+        against the current map."""
+        m = self.map
+        cfg = self.cfg
+        with m.lock:
+            gathered = self._create_new_points_gather(kf)
+        if gathered is None:
+            return
+        nb_arr, n_nbs, args = gathered
+        out = _triangulate_neighbors_mirror(*args)
+        for t in out:
+            t.copy_to_host_async()  # overlap the three D2H pulls
+        X_all, good_all, idx_all = (np.asarray(t) for t in out)
+        with m.lock:
+            self._create_new_points_commit(
+                kf, nb_arr, n_nbs, X_all, good_all, idx_all
+            )
+
+    def _create_new_points_gather(self, kf: int):
         m = self.map
         cfg = self.cfg
         n_nb = cfg.mapping.triangulation_neighbors
@@ -250,8 +341,8 @@ class LocalMapper:
             n_nb = max(n_nb // 2, 1)
         neighbors = m.covisible_keyframes(kf, n_nb)
         if len(neighbors) == 0:
-            return
-        K = np.asarray(self.cam.K)
+            return None
+        K = self._K_np
         T1 = m.kf_pose[kf]
         C1 = m.keyframe_center(kf)
         med_depth1 = self._median_depth(kf)
@@ -265,11 +356,11 @@ class LocalMapper:
                 if med_depth1 > 0 and baseline / med_depth1 < 0.01:
                     continue  # †baseline/medianDepth gate
             else:
-                if baseline < float(np.asarray(self.cam.baseline)):
+                if baseline < self._baseline:
                     continue
             nbs.append(nb)
         if not nbs:
-            return
+            return None
 
         # pad the neighbor axis to the configured cap so the kernel shape is
         # stable across keyframes (padding rows carry nb_ok=False)
@@ -281,41 +372,56 @@ class LocalMapper:
 
         avail1 = m.kf_feat_valid[kf] & (m.kf_mp[kf] < 0)
         avail2 = m.kf_feat_valid[nb_arr] & (m.kf_mp[nb_arr] < 0)
-        X_all, good_all, idx_all = _triangulate_neighbors_kernel(
-            jnp.asarray(m.kf_desc[kf]), jnp.asarray(m.kf_xy[kf]),
-            jnp.asarray(m.kf_octave[kf]), jnp.asarray(avail1),
-            jnp.asarray(m.kf_depth[kf]), jnp.asarray(m.kf_ur[kf]),
-            jnp.asarray(T1),
-            jnp.asarray(m.kf_desc[nb_arr]), jnp.asarray(m.kf_xy[nb_arr]),
-            jnp.asarray(m.kf_octave[nb_arr]), jnp.asarray(avail2),
-            jnp.asarray(m.kf_depth[nb_arr]), jnp.asarray(m.kf_ur[nb_arr]),
-            jnp.asarray(m.kf_pose[nb_arr]), jnp.asarray(nb_ok),
+        mir = m.dev_kf.ensure(m)
+        args = (
+            mir["kf_desc"], mir["kf_xy"], mir["kf_octave"], mir["kf_ur"],
+            mir["kf_depth"],
+            jnp.asarray(kf), jnp.asarray(nb_arr),
+            jnp.asarray(avail1), jnp.asarray(avail2),
+            jnp.asarray(T1), jnp.asarray(m.kf_pose[nb_arr]),
+            jnp.asarray(nb_ok),
             jnp.asarray(K.astype(np.float32)),
-            jnp.float32(np.asarray(self.cam.baseline)),
-            jnp.float32(np.asarray(self.cam.bf)),
+            jnp.float32(self._baseline),
+            jnp.float32(self._bf),
             jnp.float32(cfg.extractor.scale_factor),
         )
-        X_all = np.asarray(X_all)
-        good_all = np.asarray(good_all)
-        idx_all = np.asarray(idx_all)
+        return nb_arr, len(nbs), args
 
-        # host bookkeeping: first neighbor to claim a feature wins (the
-        # sequential loop's avail1-update semantics)
-        new_mps = []
-        for b in range(len(nbs)):
-            nb = int(nb_arr[b])
-            for i in np.where(good_all[b])[0]:
-                if not avail1[i]:
-                    continue
-                mp = m.add_map_point(X_all[b, i].astype(np.float32), kf)
-                m.add_observation(mp, kf, int(i))
-                m.add_observation(mp, nb, int(idx_all[b, i]))
-                avail1[i] = False
-                new_mps.append(mp)
-                self.recent_points.append((mp, kf))
-        if new_mps:
-            m.update_point_attributes(np.asarray(new_mps))
-            m.update_connections(kf)
+    def _create_new_points_commit(self, kf, nb_arr, n_nbs, X_all, good_all,
+                                  idx_all):
+        m = self.map
+        if not m.kf_valid[kf]:
+            return
+        # availability re-read at commit time: the tracker may have bound
+        # observations while the kernel ran
+        avail1 = m.kf_feat_valid[kf] & (m.kf_mp[kf] < 0)
+        good = good_all[:n_nbs] & avail1[None, :]           # (B, N)
+        if not good.any():
+            return
+        # first neighbor to claim a feature wins (the sequential loop's
+        # avail1-update semantics), vectorized: argmax over the padded
+        # neighbor axis picks the lowest claiming b per feature
+        feat_ids = np.where(good.any(axis=0))[0]
+        claim_b = np.argmax(good[:, feat_ids], axis=0)      # (F,)
+        idx2 = idx_all[claim_b, feat_ids]
+        # one neighbor feature backs at most one new point (first wins,
+        # matching the sequential loop's claim order)
+        _, first = np.unique(claim_b.astype(np.int64) * 100000 + idx2,
+                             return_index=True)
+        keep = np.zeros(len(feat_ids), bool)
+        keep[first] = True
+        feat_ids, claim_b, idx2 = feat_ids[keep], claim_b[keep], idx2[keep]
+        X = X_all[claim_b, feat_ids].astype(np.float32)
+        new_mps = m.add_map_points_batch(X, kf)
+        m.add_observations_batch(new_mps, kf, feat_ids)
+        for b in np.unique(claim_b):
+            rows = claim_b == b
+            m.add_observations_batch(
+                new_mps[rows], int(nb_arr[b]), idx2[rows]
+            )
+        self.recent_points.extend((int(mp), kf) for mp in new_mps)
+        m.update_point_attributes(new_mps)
+        m.update_connections(kf)
 
     def _median_depth(self, kf: int) -> float:
         m = self.map
@@ -331,44 +437,71 @@ class LocalMapper:
     # SearchInNeighbors / Fuse (†LocalMapping::SearchInNeighbors)
     # ------------------------------------------------------------------
     def _fuse_neighbors(self, kf: int):
+        """Same lock discipline as _create_new_points: gather under the map
+        lock, one batched device dispatch without it, commit under it."""
         m = self.map
         sf = self.cfg.extractor.scale_factor
-        neighbors = [int(x) for x in m.covisible_keyframes(kf, 10)]
-        if not neighbors:
-            return
-        # project current KF's points into neighbors (and vice versa)
-        directions = [(kf, nb) for nb in neighbors] + [(nb, kf) for nb in neighbors]
-        P = 1024
-        D = 20  # fixed direction capacity (2 x 10 covisible neighbors) so
-        # the batched kernel compiles once; padding rows have pv_d False
-        directions = directions[:D]
-        sel_d = np.zeros((D, P), np.int64)
-        pv_d = np.zeros((D, P), bool)
-        dst_d = np.zeros(D, np.int64)
-        for di, (src, dst) in enumerate(directions):
-            mps = m.kf_mp[src]
-            mps = np.unique(mps[mps >= 0])
-            mps = mps[m.mp_valid[mps]]
-            if len(mps) > P:  # no silent caps: fuse recall shrinks here
-                print(f"[mapping] fuse {src}->{dst}: {len(mps) - P} points "
-                      f"beyond the {P}-slot window skipped")
-            sel_d[di, : min(len(mps), P)] = mps[:P]
-            pv_d[di, : min(len(mps), P)] = True
-            dst_d[di] = dst
+        with m.lock:
+            neighbors = [int(x) for x in m.covisible_keyframes(kf, 10)]
+            if not neighbors:
+                return
+            # project current KF's points into neighbors (and vice versa)
+            directions = [(kf, nb) for nb in neighbors] + \
+                [(nb, kf) for nb in neighbors]
+            P = 1024
+            D = 20  # fixed direction capacity (2 x 10 covisible neighbors)
+            S = 11  # unique sources: current KF + up to 10 neighbors
+            # so the batched kernel compiles once; padding rows pv False
+            directions = directions[:D]
+            srcs = [kf] + neighbors[: S - 1]
+            src_index = {s: i for i, s in enumerate(srcs)}
+            sel_u = np.zeros((S, P), np.int64)
+            pv_u = np.zeros((S, P), bool)
+            for si, src in enumerate(srcs):
+                mps = m.kf_mp[src]
+                mps = np.unique(mps[mps >= 0])
+                mps = mps[m.mp_valid[mps]]
+                if len(mps) > P:  # no silent caps: fuse recall shrinks here
+                    print(f"[mapping] fuse from {src}: {len(mps) - P} "
+                          f"points beyond the {P}-slot window skipped")
+                sel_u[si, : min(len(mps), P)] = mps[:P]
+                pv_u[si, : min(len(mps), P)] = True
+            src_of_dir = np.zeros(D, np.int64)
+            dst_d = np.zeros(D, np.int64)
+            pv_dir_ok = np.zeros(D, bool)
+            for di, (src, dst) in enumerate(directions):
+                src_of_dir[di] = src_index[src]
+                dst_d[di] = dst
+                pv_dir_ok[di] = True
+            sel_d = sel_u[src_of_dir]
+            pv_d = pv_u[src_of_dir] & pv_dir_ok[:, None]
+            mir = m.dev_kf.ensure(m)
+            args = (
+                jnp.asarray(m.mp_pos[sel_u]), jnp.asarray(m.mp_desc[sel_u]),
+                jnp.asarray(pv_u), jnp.asarray(src_of_dir),
+                mir["kf_desc"], mir["kf_xy"], mir["kf_octave"],
+                mir["kf_feat_valid"],
+                jnp.asarray(dst_d), jnp.asarray(m.kf_pose[dst_d]),
+            )
         # ONE batched dispatch for all 2N projection-fuse directions
-        res_d = _fuse_match_batch(
-            jnp.asarray(m.mp_pos[sel_d]), jnp.asarray(m.mp_desc[sel_d]),
-            jnp.asarray(pv_d), jnp.asarray(m.kf_pose[dst_d]),
-            jnp.asarray(m.kf_xy[dst_d]), jnp.asarray(m.kf_desc[dst_d]),
-            jnp.asarray(m.kf_octave[dst_d]),
-            jnp.asarray(m.kf_feat_valid[dst_d]),
-            self.cam, jnp.float32(sf), jnp.float32(3.0),
+        res_d = _fuse_match_mirror(
+            *args, self.cam, jnp.float32(sf), jnp.float32(3.0),
         )
+        res_d.valid.copy_to_host_async()
+        res_d.idx.copy_to_host_async()
         rv_d = np.asarray(res_d.valid)
         ridx_d = np.asarray(res_d.idx)
+        with m.lock:
+            self._fuse_commit(kf, neighbors, directions, sel_d, pv_d,
+                              rv_d, ridx_d)
 
+    def _fuse_commit(self, kf, neighbors, directions, sel_d, pv_d, rv_d,
+                     ridx_d):
+        m = self.map
         touched = set()
         for di, (src, dst) in enumerate(directions):
+            if not m.kf_valid[dst]:
+                continue  # culled while the kernel ran
             rv = rv_d[di]
             ridx = ridx_d[di]
             sel = sel_d[di]
@@ -400,6 +533,22 @@ class LocalMapper:
     # Local BA (gather window -> ops.ba -> write back)
     # ------------------------------------------------------------------
     def local_bundle_adjustment(self, kf: int):
+        """Gather the window under the map lock, solve WITHOUT it (the LM
+        chunks are the long device round trips), write back under it with
+        liveness re-checked."""
+        m = self.map
+        with m.lock:
+            gathered = self._local_ba_gather(kf)
+        if gathered is None:
+            return
+        window, opt_mask_w, mp_ids, obs_valid, obs_src, prob = gathered
+        res = self._local_ba_solve(prob)
+        with m.lock:
+            self._local_ba_write_back(
+                window, opt_mask_w, mp_ids, obs_valid, obs_src, res
+            )
+
+    def _local_ba_gather(self, kf: int):
         m = self.map
         rt = self.cfg.runtime
         local_kfs = [kf] + [int(x) for x in m.covisible_keyframes(kf)]
@@ -411,7 +560,7 @@ class LocalMapper:
         mp_ids = mp_ids[mp_ids >= 0]
         mp_ids = mp_ids[m.mp_valid[mp_ids]]
         if len(mp_ids) == 0 or len(local_kfs) < 2:
-            return
+            return None
         mp_ids = mp_ids[: rt.local_ba_max_points]
 
         # fixed KFs: other observers of those points
@@ -426,8 +575,7 @@ class LocalMapper:
             [(w in local_set) and (w != 0) for w in window], bool
         )
         if not opt.any():
-            return
-        kf_to_w = {w: i for i, w in enumerate(window)}
+            return None
 
         Kw = rt.local_ba_max_kfs + rt.local_ba_max_fixed_kfs
         Mw = rt.local_ba_max_points
@@ -483,6 +631,10 @@ class LocalMapper:
             obs_sigma2=jnp.asarray(obs_sigma2),
             obs_valid=jnp.asarray(obs_valid),
         )
+        return window, opt_mask, mp_ids, obs_valid, obs_src, prob
+
+    def _local_ba_solve(self, prob):
+        rt = self.cfg.runtime
         # chunked LM so a waiting keyframe can abort between chunks
         # (†Optimizer::LocalBundleAdjustment's pbStopFlag)
         chunk = 5
@@ -504,15 +656,23 @@ class LocalMapper:
                     cam=self.cam, prob=prob, iters=1, outlier_rounds=1
                 )
                 break
+        for t in (res.poses, res.points, res.obs_inlier):
+            t.copy_to_host_async()  # overlap the D2H pulls
+        return res
 
-        # --- write back (the reference does this under mMutexMapUpdate; we
-        # are the single writer, so plain assignment)
+    def _local_ba_write_back(self, window, opt_mask, mp_ids, obs_valid,
+                             obs_src, res):
+        # --- write back (the reference does this under mMutexMapUpdate);
+        # liveness is re-checked: keyframes/points may have been culled
+        # while the solver ran off-lock
+        m = self.map
         new_poses = np.asarray(res.poses)
         for w, kfi in enumerate(window):
-            if opt_mask[w]:
+            if opt_mask[w] and m.kf_valid[kfi]:
                 m.kf_pose[kfi] = new_poses[w]
         new_points = np.asarray(res.points)
-        m.mp_pos[mp_ids] = new_points[: len(mp_ids)]
+        live = m.mp_valid[mp_ids]
+        m.mp_pos[mp_ids[live]] = new_points[: len(mp_ids)][live]
         # outlier observation removal (only iterate actual violators)
         inl = np.asarray(res.obs_inlier)
         bad_i, bad_o = np.where(obs_valid & ~inl)

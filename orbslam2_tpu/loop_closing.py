@@ -34,6 +34,10 @@ class LoopCloser:
         self.map = slam_map
         self.cam = cam
         self.kfdb = kfdb
+        # cached host scalars (device pulls block a full RTT on relay rigs)
+        _K = np.asarray(cam.K, np.float32)
+        self._fx, self._fy = float(_K[0, 0]), float(_K[1, 1])
+        self._cx, self._cy = float(_K[0, 2]), float(_K[1, 2])
         self.consistent_groups: List[Tuple[Set[int], int]] = []
         self.last_loop_kf = -10**9
         self._rng = np.random.default_rng(cfg.runtime.seed + 1)
@@ -272,8 +276,8 @@ class LoopCloser:
         Scw = sim3_np.compose(S12, S_loop)
         pc = sim3_np.apply(Scw[None], m.mp_pos[mps])
         z = pc[:, 2]
-        fx = float(np.asarray(self.cam.fx)); fy = float(np.asarray(self.cam.fy))
-        cx = float(np.asarray(self.cam.cx)); cy = float(np.asarray(self.cam.cy))
+        fx = self._fx; fy = self._fy
+        cx = self._cx; cy = self._cy
         u = fx * pc[:, 0] / np.maximum(z, 1e-6) + cx
         v = fy * pc[:, 1] / np.maximum(z, 1e-6) + cy
         ok = (z > 0.1) & (u >= 0) & (u < self.cam.width) & (v >= 0) & (v < self.cam.height)

@@ -32,6 +32,64 @@ import numpy as np
 from ..config import SlamConfig
 
 
+class KfDeviceMirror:
+    """Device-resident copies of the per-keyframe FEATURE arrays.
+
+    A keyframe's features (xy, desc, octave, ur, depth, feat_valid) are
+    written once at insertion and never change, so they can live on device
+    permanently: consumers (triangulation, fuse, BoW, loop matching) index
+    the mirror with keyframe ids inside their kernels instead of re-uploading
+    host gathers every call. On relay-attached rigs those gathers were the
+    dominant H2D traffic of the whole mapping path (~1.5 MB per keyframe at
+    ~23 MB/s).
+
+    Mutable per-KF state (pose, kf_mp bindings, validity) is NOT mirrored —
+    it is small and passed host->device per call, which also sidesteps any
+    coherence protocol. The mirror is invalidated wholesale on capacity
+    growth and map clear; `ensure()` rebuilds it from host state.
+    """
+
+    FIELDS = ("kf_desc", "kf_xy", "kf_octave", "kf_ur", "kf_depth",
+              "kf_feat_valid")
+
+    def __init__(self):
+        self.arrays: Optional[dict] = None
+        self._capacity = -1
+        self._update_fn = None
+
+    def invalidate(self):
+        self.arrays = None
+        self._capacity = -1
+
+    def ensure(self, m: "MapState") -> dict:
+        """Build (or rebuild after growth) from host arrays; returns the
+        device dict. Call under the map lock."""
+        if self.arrays is not None and self._capacity == m.kf_valid.shape[0]:
+            return self.arrays
+        import jax
+
+        self.arrays = {f: jax.device_put(getattr(m, f)) for f in self.FIELDS}
+        self._capacity = m.kf_valid.shape[0]
+        return self.arrays
+
+    def upload_kf(self, m: "MapState", k: int):
+        """Refresh one keyframe row after insertion (no-op until a consumer
+        has built the mirror). One async H2D per field, no device->host."""
+        if self.arrays is None:
+            return
+        if self._update_fn is None:
+            import jax
+
+            def _upd(arrays, k, rows):
+                return {f: arrays[f].at[k].set(rows[f]) for f in arrays}
+
+            # no donation: worker kernels may still hold the previous
+            # mirror buffers as in-flight arguments on another thread
+            self._update_fn = jax.jit(_upd)
+        rows = {f: getattr(m, f)[k] for f in self.FIELDS}
+        self.arrays = self._update_fn(self.arrays, k, rows)
+
+
 @dataclass
 class MapState:
     cfg: SlamConfig
@@ -91,6 +149,7 @@ class MapState:
     n_mp: int = 0
     next_kf_id: int = 0
     version: int = 0             # bumped on structural writes (gather caches)
+    dev_kf: KfDeviceMirror = field(default_factory=KfDeviceMirror)
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -180,6 +239,7 @@ class MapState:
             self.kf_ur[k] = ur
         if depth is not None:
             self.kf_depth[k] = depth
+        self.dev_kf.upload_kf(self, k)
         return k
 
     # ------------------------------------------------------------------
@@ -209,6 +269,96 @@ class MapState:
         self.mp_dmin[m] = 0.0
         self.mp_dmax[m] = np.inf
         return m
+
+    def add_map_points_batch(self, pos: np.ndarray, ref_kf: int) -> np.ndarray:
+        """Vectorized add_map_point for n fresh points; returns their ids.
+
+        Same recycling-then-grow policy; the per-slot field init is one
+        fancy-indexed write per array instead of n Python-loop iterations
+        (keyframe creation spawns up to 500 depth points at once — the loop
+        was a measurable host-side stall on the tracking thread).
+        """
+        n = len(pos)
+        if n == 0:
+            return np.empty(0, np.int64)
+        ids = np.empty(n, np.int64)
+        n_recycled = min(len(self.free_mp), n)
+        for i in range(n_recycled):
+            ids[i] = self.free_mp.pop()
+        n_new = n - n_recycled
+        if n_new > 0:
+            while self.n_mp + n_new > self.mp_valid.shape[0]:
+                self.grow(new_mp=2 * self.mp_valid.shape[0])
+            ids[n_recycled:] = np.arange(self.n_mp, self.n_mp + n_new)
+            self.n_mp += n_new
+        self.mp_pos[ids] = pos
+        self.mp_valid[ids] = True
+        self.mp_ref_kf[ids] = ref_kf
+        self.mp_first_kf[ids] = ref_kf
+        self.mp_n_obs[ids] = 0
+        self.mp_visible[ids] = 1
+        self.mp_found[ids] = 1
+        self.mp_obs_kf[ids] = -1
+        self.mp_obs_feat[ids] = -1
+        self.mp_normal[ids] = 0.0
+        self.mp_dmin[ids] = 0.0
+        self.mp_dmax[ids] = np.inf
+        return ids
+
+    def add_observations_batch(self, mps: np.ndarray, kf: int,
+                               feats: np.ndarray):
+        """Vectorized add_observation: bind each (mp, feat) pair to `kf`.
+
+        `mps` must be unique (one observation per map point per call — true
+        for keyframe creation, where each feature matches a distinct point).
+        """
+        mps = np.asarray(mps)
+        feats = np.asarray(feats)
+        if len(mps) == 0:
+            return
+        fresh = self.kf_mp[kf, feats] != mps
+        mps, feats = mps[fresh], feats[fresh]
+        if len(mps) == 0:
+            return
+        slots = self.mp_obs_kf[mps]                     # (n, O)
+        has_free = (slots < 0).any(axis=1)
+        s = np.argmax(slots < 0, axis=1)                # first free slot
+        n_drop = int((~has_free).sum())
+        if n_drop:
+            self.obs_drops += n_drop
+            print(f"[map] obs table full: dropped {self.obs_drops} "
+                  f"observations so far (slots={slots.shape[1]})")
+        mps, feats, s = mps[has_free], feats[has_free], s[has_free]
+        self.mp_obs_kf[mps, s] = kf
+        self.mp_obs_feat[mps, s] = feats
+        self.mp_n_obs[mps] += 1
+        self.kf_mp[kf, feats] = mps
+
+    def init_point_attributes(self, mps: np.ndarray, kf: int,
+                              feats: np.ndarray):
+        """Fast-path attribute init for FRESH points with exactly one
+        observation (kf, feat): the distinctive descriptor is the feature's
+        own descriptor, the normal is the viewing ray, and the scale band
+        comes from the feature's octave (†MapPoint ctor +
+        UpdateNormalAndDepth with a single observation). Avoids the full
+        median-Hamming update_point_attributes pass on the tracking thread.
+        """
+        mps = np.asarray(mps)
+        feats = np.asarray(feats)
+        if len(mps) == 0:
+            return
+        sf = self.cfg.extractor.scale_factor
+        n_levels = self.cfg.extractor.n_levels
+        self.mp_desc[mps] = self.kf_desc[kf, feats]
+        T = self.kf_pose[kf]
+        center = -T[:3, :3].T @ T[:3, 3]
+        vec = self.mp_pos[mps] - center
+        dist = np.linalg.norm(vec, axis=1)
+        self.mp_normal[mps] = vec / np.maximum(dist, 1e-9)[:, None]
+        level = self.kf_octave[kf, feats].astype(np.float32)
+        dmax = dist * (sf ** level)
+        self.mp_dmax[mps] = dmax
+        self.mp_dmin[mps] = dmax / (sf ** (n_levels - 1))
 
     def add_observation(self, mp: int, kf: int, feat: int):
         """Bind map point <-> keyframe feature (both directions)."""
@@ -483,6 +633,7 @@ class MapState:
         if new_kf is not None and new_kf > self.kf_valid.shape[0]:
             extra = new_kf - self.kf_valid.shape[0]
             print(f"[map] growing keyframe capacity -> {new_kf}")
+            self.dev_kf.invalidate()
             eye = np.tile(np.eye(4, dtype=np.float32), (extra, 1, 1))
             self.kf_pose = np.concatenate([self.kf_pose, eye])
             for name, fill in (

@@ -67,11 +67,12 @@ class AsyncMappingMixin:
                 self._loop_queue.put(None)
                 break
             try:
-                # lock per phase: the tracker's keyframe insertion then
-                # waits at most one phase, not a full mapping round
+                # phases manage the map lock internally: host mutation
+                # sections hold it, device round trips (triangulation/fuse
+                # kernels, LM chunks) run WITHOUT it, so the tracker's
+                # keyframe insertion never waits on device latency
                 for phase in self.local_mapper.keyframe_phases(kf):
-                    with self.map.lock:
-                        phase()
+                    phase()
                 if self.loop_closer is not None and self.map.kf_valid[kf]:
                     self._loop_queue.put(kf)
             except Exception as e:  # surface, don't kill the worker silently

@@ -60,8 +60,25 @@ class FrameData:
 
     def _pull(self, key: str) -> np.ndarray:
         if key not in self._host:
-            self._host[key] = np.asarray(self.dev[key])
+            # first host access: overlap ALL fields' D2H transfers (one
+            # round-trip of latency instead of one per field — keyframe
+            # creation reads every field back-to-back, and on relay-attached
+            # rigs each serial blocking pull costs a full RTT)
+            for k, arr in self.dev.items():
+                if k not in self._host and hasattr(arr, "copy_to_host_async"):
+                    arr.copy_to_host_async()
+            for k, arr in self.dev.items():
+                if k not in self._host:
+                    self._host[k] = np.asarray(arr)
         return self._host[key]
+
+    def prefetch_host(self):
+        """Schedule non-blocking D2H copies of every field (call as soon as
+        it is known the host views will be needed, e.g. at the keyframe
+        decision, so the transfers overlap remaining host work)."""
+        for arr in self.dev.values():
+            if hasattr(arr, "copy_to_host_async"):
+                arr.copy_to_host_async()
 
     xy = property(lambda self: self._pull("xy"))
     desc = property(lambda self: self._pull("desc"))
@@ -324,6 +341,21 @@ def _rgbd_virtual_right(depth_map, kp_xy_raw, kp_xy_undist, valid, bf):
     return ur, dep
 
 
+@jax.jit
+def _rgbd_virtual_right_u16(depth_u16, depth_scale, kp_xy_raw, kp_xy_undist,
+                            valid, bf):
+    """u16-quantized variant: dequantize on device after the (4x smaller)
+    H2D transfer."""
+    H, W = depth_u16.shape
+    xi = jnp.clip(jnp.round(kp_xy_raw[:, 0]).astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(jnp.round(kp_xy_raw[:, 1]).astype(jnp.int32), 0, H - 1)
+    d = depth_u16.reshape(-1)[yi * W + xi].astype(jnp.float32) * depth_scale
+    ok = valid & (d > 0)
+    dep = jnp.where(ok, d, -1.0)
+    ur = jnp.where(ok, kp_xy_undist[:, 0] - bf / jnp.maximum(d, 1e-6), -1.0)
+    return ur, dep
+
+
 @functools.partial(jax.jit, static_argnames=("nn_ratio",))
 def match_frames_windowed(
     desc_a, xy_a, angle_a, valid_a, desc_b, xy_b, angle_b, valid_b, window,
@@ -355,6 +387,14 @@ class Tracker:
             bf=cc.bf, width=cc.width, height=cc.height,
         )
         self.extractor = orb.OrbExtractor(cfg.extractor, cc.height, cc.width)
+        # cached host scalars: going through the Camera pytree fields costs
+        # a blocking D2H pull per access on relay rigs, and several sat on
+        # per-frame paths
+        self._has_distortion = self.cam.has_distortion
+        self._fx, self._fy = float(cc.fx), float(cc.fy)
+        self._cx, self._cy = float(cc.cx), float(cc.cy)
+        self._bf = float(cc.bf)
+        self._baseline = float(cc.bf) / max(float(cc.fx), 1e-8)
         # Monocular initialization uses 2x features (†Tracking ctor)
         self.state = TrackingState.NO_IMAGES_YET
         self.velocity: Optional[np.ndarray] = None
@@ -382,7 +422,7 @@ class Tracker:
                     right_img: Optional[np.ndarray] = None) -> FrameData:
         feats = self.extractor(img)
         xy_dev = feats.xy
-        if self.cam.has_distortion:
+        if self._has_distortion:
             xy_dev = undistort_points(self.cam, feats.xy)
         n = feats.xy.shape[0]
         dev = dict(
@@ -401,7 +441,7 @@ class Tracker:
             )
             ur_j, dep_j = stereo.stereo_match(
                 feats, feats_r, self.cam.bf,
-                jnp.float32(float(np.asarray(self.cam.baseline))),
+                jnp.float32(self._baseline),
                 sf,
             )
             dev["ur"], dev["depth"] = stereo.subpixel_refine(
@@ -410,9 +450,18 @@ class Tracker:
                 feats.xy, ur_j, dep_j > 0, self.cam.bf,
             )
         elif depth_map is not None:
-            dev["ur"], dev["depth"] = _rgbd_virtual_right(
-                jnp.asarray(depth_map, jnp.float32), feats.xy, xy_dev,
-                feats.valid, self.cam.bf,
+            # quantize to u16 millimeters on host: 4x fewer H2D bytes (the
+            # depth image is the largest per-frame transfer on
+            # relay-attached rigs); 1 mm resolution out to 65 m is below
+            # any RGB-D sensor's noise floor
+            d = np.asarray(depth_map, np.float32)
+            scale = np.float32(1e3)
+            d_u16 = np.where(
+                (d > 0) & (d * scale < 65535.0), d * scale, 0.0
+            ).astype(np.uint16)
+            dev["ur"], dev["depth"] = _rgbd_virtual_right_u16(
+                jnp.asarray(d_u16), jnp.float32(1.0 / scale), feats.xy,
+                xy_dev, feats.valid, self.cam.bf,
             )
         return FrameData(self.frame_id, timestamp, dev, n)
 
@@ -429,7 +478,7 @@ class Tracker:
             self.state = TrackingState.NOT_INITIALIZED
 
         if self.state == TrackingState.NOT_INITIALIZED:
-            if depth_map is not None or float(np.asarray(self.cam.bf)) > 0:
+            if depth_map is not None or self._bf > 0:
                 ok = self._initialize_rgbd(frame)
             else:
                 ok = self._initialize_monocular(frame)
@@ -565,10 +614,10 @@ class Tracker:
             frame.valid, frame.frame_id, frame.timestamp, ur=frame.ur,
             depth=frame.depth,
         )
-        fx = float(np.asarray(self.cam.fx))
-        fy = float(np.asarray(self.cam.fy))
-        cx = float(np.asarray(self.cam.cx))
-        cy = float(np.asarray(self.cam.cy))
+        fx = self._fx
+        fy = self._fy
+        cx = self._cx
+        cy = self._cy
         new_mps = []
         for i in np.where(ok)[0]:
             d = frame.depth[i]
@@ -658,7 +707,7 @@ class Tracker:
         if len(cand) == 0:
             return sel, buf
         th_depth = self.cfg.camera.th_depth * float(
-            np.asarray(self.cam.baseline))
+            self._baseline)
         order = cand[np.argsort(lf.depth[cand])]
         close = order[lf.depth[order] < th_depth]
         # close points, or the nearest 100 when the scene is all-far
@@ -667,8 +716,8 @@ class Tracker:
         if len(spawn) == 0:
             return sel, buf
         Twc = np.linalg.inv(lf.Tcw)
-        fx = float(np.asarray(self.cam.fx)); fy = float(np.asarray(self.cam.fy))
-        cx = float(np.asarray(self.cam.cx)); cy = float(np.asarray(self.cam.cy))
+        fx = self._fx; fy = self._fy
+        cx = self._cx; cy = self._cy
         d = lf.depth[spawn][:, None]
         pc = np.concatenate(
             [(lf.xy[spawn, :1] - cx) / fx * d,
@@ -752,7 +801,7 @@ class Tracker:
         # pass, tight pass) is one program + one packed D2H per frame
         cfge = self.cfg.extractor
         th_depth = self.cfg.camera.th_depth * float(
-            np.asarray(self.cam.baseline))
+            self._baseline)
         packed = track_frame_fused(
             self.cam, jnp.asarray(Tcw_pred),
             buf["pos"], buf["desc"], buf["valid"], buf["normal"],
@@ -854,7 +903,7 @@ class Tracker:
             frame.dev["xy"], frame.dev["desc"], frame.dev["octave"],
             frame.dev["valid"], frame.dev["ur"], frame.dev["depth"],
             jnp.float32(self.cfg.camera.th_depth
-                        * float(np.asarray(self.cam.baseline))),
+                        * self._baseline),
             jnp.float32(self.cfg.tracking.motion_model_radius),
             jnp.float32(cfge.scale_factor), cfge.n_levels,
             self.cfg.tracking.min_inliers_track,
@@ -985,6 +1034,7 @@ class Tracker:
 
     def _create_keyframe_locked(self, frame: FrameData) -> int:
         m = self.map
+        frame.prefetch_host()  # one overlapped D2H for all feature arrays
         kf = m.add_keyframe(
             frame.Tcw.astype(np.float32), frame.xy, frame.desc, frame.octave,
             frame.angle, frame.valid, frame.frame_id, frame.timestamp,
@@ -994,15 +1044,15 @@ class Tracker:
             # a recycled slot must not surface the culled keyframe's BoW row
             # during the window before the loop closer re-adds it
             self.kfdb.erase(kf)
-        touched = []
-        for feat in np.where(frame.mp >= 0)[0]:
-            m.add_observation(int(frame.mp[feat]), kf, int(feat))
-            touched.append(int(frame.mp[feat]))
+        feats = np.where(frame.mp >= 0)[0]
+        m.add_observations_batch(frame.mp[feats], kf, feats)
         # RGB-D: spawn close points not yet matched (†CreateNewKeyFrame)
         if (frame.depth > 0).any():
             self._spawn_depth_points(frame, kf)
-        if touched:
-            m.update_point_attributes(np.asarray(touched))
+        # the full attribute refresh (median-Hamming distinctive descriptor
+        # etc.) for the touched pre-existing points runs in the mapping
+        # stage (†LocalMapping::ProcessNewKeyFrame), off this thread in
+        # async mode
         m.update_connections(kf)
         m.version += 1
         self.ref_kf = kf
@@ -1014,7 +1064,7 @@ class Tracker:
         # feature we spawn up to 300 so purely rotational motion onto
         # newly-seen geometry keeps enough trackable points)
         m = self.map
-        th_depth = self.cfg.camera.th_depth * float(np.asarray(self.cam.baseline))
+        th_depth = self.cfg.camera.th_depth * self._baseline
         cand = np.where(
             frame.valid & (frame.depth > 0) & (frame.mp < 0)
         )[0]
@@ -1023,20 +1073,19 @@ class Tracker:
         order = cand[np.argsort(frame.depth[cand])]
         close = order[frame.depth[order] < th_depth]
         spawn = order[:max_new] if len(close) < 100 else close[:max_new]
+        if len(spawn) == 0:
+            return
         Twc = np.linalg.inv(frame.Tcw)
-        fx = float(np.asarray(self.cam.fx)); fy = float(np.asarray(self.cam.fy))
-        cx = float(np.asarray(self.cam.cx)); cy = float(np.asarray(self.cam.cy))
-        new_mps = []
-        for i in spawn:
-            d = frame.depth[i]
-            pc = np.array(
-                [(frame.xy[i, 0] - cx) / fx * d, (frame.xy[i, 1] - cy) / fy * d, d],
-                np.float32,
-            )
-            pw = Twc[:3, :3] @ pc + Twc[:3, 3]
-            mp = m.add_map_point(pw, kf)
-            m.add_observation(mp, kf, int(i))
-            frame.mp[i] = mp
-            new_mps.append(mp)
-        if new_mps:
-            m.update_point_attributes(np.asarray(new_mps))
+        fx = self._fx; fy = self._fy
+        cx = self._cx; cy = self._cy
+        d = frame.depth[spawn][:, None]
+        pc = np.concatenate(
+            [(frame.xy[spawn, :1] - cx) / fx * d,
+             (frame.xy[spawn, 1:2] - cy) / fy * d, d], axis=1
+        ).astype(np.float32)
+        pw = pc @ Twc[:3, :3].T + Twc[:3, 3]
+        new_mps = m.add_map_points_batch(pw, kf)
+        m.add_observations_batch(new_mps, kf, spawn)
+        frame.mp[spawn] = new_mps
+        # fresh single-observation points: attributes are closed-form
+        m.init_point_attributes(new_mps, kf, spawn)
