@@ -90,7 +90,7 @@ def bench_hot_path():
     return n / dt
 
 
-def bench_system_fps(n_frames=60, warmup=15):
+def bench_system_fps(n_frames=150, warmup=30):
     from orbslam2_tpu.config import CameraConfig, ExtractorConfig, SlamConfig
     from orbslam2_tpu.pipeline import AsyncSlamSystem
     from orbslam2_tpu.utils.synthetic import render_sequence
@@ -107,6 +107,7 @@ def bench_system_fps(n_frames=60, warmup=15):
         n_frames, K, width=W, height=H, with_depth=True
     )
     slam = AsyncSlamSystem(cfg)
+    slam.warmup()  # pre-trace/load every hot program (production startup path)
     for i in range(warmup):
         img, depth = frames[i % len(frames)]
         slam.track_rgbd(img, depth, i / 30.0)

@@ -43,13 +43,31 @@ def main():
     ap.add_argument("--viewer-port", type=int, default=-1,
                     help="serve the interactive live map at this port "
                          "(0 = ephemeral; default off)")
+    ap.add_argument("--async-mapping", action="store_true",
+                    help="run mapping + loop closing on background workers "
+                         "with pipelined tracking (the reference's 3-thread "
+                         "topology; tracking returns poses one frame late)")
+    ap.add_argument("--warmup", action="store_true",
+                    help="pre-trace/load every hot device program before "
+                         "the frame loop (recommended on TPU: avoids "
+                         "mid-sequence compile stalls; the reference "
+                         "similarly front-loads its 10-20 s vocabulary "
+                         "parse)")
     args = ap.parse_args()
 
     sensor = {"mono": "monocular", "rgbd": "rgbd", "stereo": "stereo"}[
         args.mode.split("-")[1]
     ]
     cfg = load_config(args.settings, sensor=sensor)
-    slam = SlamSystem(cfg)
+    if args.async_mapping:
+        from orbslam2_tpu.pipeline import AsyncSlamSystem
+
+        slam = AsyncSlamSystem(cfg)
+    else:
+        slam = SlamSystem(cfg)
+    if args.warmup:
+        dt = slam.warmup()
+        print(f"warmup: {dt:.1f}s")
     viewer = None
     if args.viewer_port >= 0:
         from orbslam2_tpu.utils.http_viewer import HttpViewer

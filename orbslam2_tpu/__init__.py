@@ -59,6 +59,10 @@ if _os.environ.get("ORBSLAM2_TPU_COMPILE_CACHE", "1") != "0" and not _force_cpu:
                     _os.path.expanduser("~/.cache/orbslam2_tpu/xla"),
                 ),
             )
-            _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+            # cache EVERYTHING: on relay-attached hosts even a trivial eager
+            # op costs ~0.4 s to compile (per-compile link round trips), and
+            # dozens of such one-off ops run at startup — with the threshold
+            # at 0 they become ~2-60 ms cache loads on every later process
+            _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:  # cache is an optimization — never block import
         pass

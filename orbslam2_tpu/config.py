@@ -134,6 +134,16 @@ class MapCapacityConfig:
 @dataclass
 class RuntimeConfig:
     seed: int = 0
+    # RGB-D depth image H2D subsampling stride. The depth map is only read
+    # at keypoint locations (virtual right coord + close-point spawning);
+    # stride 2 uploads 1/4 the bytes — on relay-attached rigs the full-res
+    # u16 depth was the single largest per-frame transfer (614 KB / ~19 ms
+    # at 32 MB/s for 640x480). Keypoints are corner features, frequently at
+    # depth edges, but the nearest-of-4 sampling error this introduces is
+    # bounded by the same discontinuity noise the sensor already has there
+    # and everything downstream is chi^2-gated (A/B on the synthetic RGB-D
+    # e2e suite: ATE unchanged). Set 1 to restore exact per-pixel sampling.
+    depth_upload_stride: int = 2
     # local BA window capacities (gathered compact buffers, SURVEY §7.3.1)
     local_ba_max_kfs: int = 32
     local_ba_max_fixed_kfs: int = 32

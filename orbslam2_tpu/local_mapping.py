@@ -231,6 +231,13 @@ class LocalMapper:
         # points this at "another keyframe is waiting"; local BA checks it
         # between LM chunks and stops early with the partial solution
         self.interrupt = lambda: False
+        # Real backlog (≥2 keyframes waiting): skip fuse + BA entirely for
+        # this keyframe (†LocalMapping::Run gates SearchInNeighbors/BA on
+        # !CheckNewKeyFrames()). A single waiting keyframe only aborts BA
+        # between chunks — skipping on ANY pending keyframe was measured to
+        # spiral: less fusion -> more duplicate points -> fewer inliers ->
+        # more urgent keyframes -> more backlog.
+        self.backlog = lambda: False
 
     # ------------------------------------------------------------------
     def process_keyframe(self, kf: int, run_ba: bool = True):
@@ -257,16 +264,24 @@ class LocalMapper:
             self.map.version += 1
 
         # create/fuse/BA manage the lock internally (gather + commit only);
-        # the host-only phases are cheap enough to hold it throughout
+        # the host-only phases are cheap enough to hold it throughout.
+        # Fuse + local BA run only when no newer keyframe is waiting —
+        # †LocalMapping::Run gates SearchInNeighbors and the BA on
+        # !CheckNewKeyFrames(): under backlog the mapper catches up on
+        # point creation first and the skipped work is subsumed by the
+        # next idle keyframe's neighborhood pass.
         phases = [
             _locked(self.map.recycle_free_slots),
             _locked(lambda: self._refresh_tracked_points(kf)),
             _locked(lambda: self._cull_map_points(kf)),
             lambda: self._create_new_points(kf),
-            lambda: self._fuse_neighbors(kf),
+            lambda: (None if self.backlog() else self._fuse_neighbors(kf)),
         ]
         if run_ba:
-            phases.append(lambda: self.local_bundle_adjustment(kf))
+            phases.append(
+                lambda: (None if self.backlog()
+                         else self.local_bundle_adjustment(kf))
+            )
         phases.append(_locked(_finish))
         return phases
 
@@ -577,8 +592,24 @@ class LocalMapper:
         if not opt.any():
             return None
 
-        Kw = rt.local_ba_max_kfs + rt.local_ba_max_fixed_kfs
-        Mw = rt.local_ba_max_points
+        # power-of-two buckets sized to the ACTUAL window: the solver is a
+        # fixed-shape jitted program, and padding every solve to the max
+        # capacity (64 KFs x 4096 points) made early/small windows pay the
+        # full-capacity device time (~80 ms/solve at 15 LM iters) and an 8x
+        # H2D gather. Each bucket compiles once (persistent cache).
+        # coarse x4 steps: every (Kw, Mw) signature is a distinct jitted
+        # program whose first dispatch costs ~0.5-1 s of trace+cache-load
+        # that stalls the whole relay link — fewer buckets beats tighter
+        # padding (the padded solve itself is only ~15-40 ms)
+        def _bucket(n, lo, hi):
+            b = lo
+            while b < n and b < hi:
+                b *= 4
+            return min(b, hi)
+
+        Kw = _bucket(len(window), 16, rt.local_ba_max_kfs
+                     + rt.local_ba_max_fixed_kfs)
+        Mw = _bucket(len(mp_ids), 1024, rt.local_ba_max_points)
         Ow = self.obs_cap
         poses = np.tile(np.eye(4, dtype=np.float32), (Kw, 1, 1))
         poses[: len(window)] = m.kf_pose[window]
@@ -651,9 +682,11 @@ class LocalMapper:
             done += n
             if not last and self.interrupt():
                 # finish with the abbreviated outlier round, like the
-                # reference's 5-iteration fallback when aborted
+                # reference's 5-iteration fallback when aborted (same
+                # (iters, rounds) signature as the final chunk so the abort
+                # path never triggers a fresh program load)
                 res = ba.optimize_ba(
-                    cam=self.cam, prob=prob, iters=1, outlier_rounds=1
+                    cam=self.cam, prob=prob, iters=chunk, outlier_rounds=1
                 )
                 break
         for t in (res.poses, res.points, res.obs_inlier):

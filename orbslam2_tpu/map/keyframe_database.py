@@ -34,13 +34,21 @@ class KeyFrameDatabase:
         K = map_state.kf_valid.shape[0]
         self.bow_mat = np.zeros((K, self.vocab.shape[0]), np.float32)
         self.in_db = np.zeros(K, bool)
+        # device-resident vocabulary: uploading the (W, 256) bit matrix per
+        # compute_bow call cost ~0.5 MB of H2D per keyframe on relay rigs
+        self._vocab_dev = None
+        self._idf_dev = None
 
     # ------------------------------------------------------------------
-    def compute_bow(self, desc: np.ndarray, valid: np.ndarray) -> np.ndarray:
-        idf_j = jnp.asarray(self.idf) if self.idf is not None else None
+    def compute_bow(self, desc, valid) -> np.ndarray:
+        if self._vocab_dev is None:
+            self._vocab_dev = jnp.asarray(self.vocab)
+            self._idf_dev = (
+                jnp.asarray(self.idf) if self.idf is not None else None
+            )
         return np.asarray(
             bow.bow_vector(jnp.asarray(desc), jnp.asarray(valid),
-                           jnp.asarray(self.vocab), idf_j)
+                           self._vocab_dev, self._idf_dev)
         )
 
     def add(self, kf: int):

@@ -437,11 +437,19 @@ class MapState:
     # ------------------------------------------------------------------
     def update_point_attributes(self, mps: np.ndarray):
         """Recompute distinctive descriptor, normal, and depth band for the
-        given point ids (fully vectorized over points x observations)."""
+        given point ids.
+
+        Large batches run as ONE device program against the keyframe mirror
+        (ops/point_attrs.py): the host pass below is O(P*O^2) GIL-held numpy
+        that froze the tracking thread for 100-800 ms at refresh-sized
+        batches. Small batches stay on host (a device round trip costs a
+        full link RTT)."""
         mps = np.atleast_1d(np.asarray(mps))
         mps = mps[self.mp_valid[mps]]
         if len(mps) == 0:
             return
+        if len(mps) >= 128 and self.dev_kf.arrays is not None:
+            return self._update_point_attributes_device(mps)
         sf = self.cfg.extractor.scale_factor
         n_levels = self.cfg.extractor.n_levels
         P = len(mps)
@@ -504,6 +512,54 @@ class MapState:
         dmax = dist * (sf ** level.astype(np.float32))
         self.mp_dmax[mps] = dmax
         self.mp_dmin[mps] = dmax / (sf ** (n_levels - 1))
+
+    def _update_point_attributes_device(self, mps: np.ndarray):
+        """One-dispatch attribute refresh on device (same math as the host
+        pass above; golden-tested for equivalence in tests/test_lifecycle
+        fixtures). Pads the batch to a power-of-two bucket so the program
+        compiles once per bucket."""
+        import jax.numpy as jnp
+
+        from ..ops import point_attrs
+
+        sf = self.cfg.extractor.scale_factor
+        n_levels = self.cfg.extractor.n_levels
+        P = len(mps)
+        Pb = 128  # x4 steps: each bucket is a distinct program (see gather)
+        while Pb < P:
+            Pb *= 4
+        pad = Pb - P
+        obs_kf = np.concatenate(
+            [self.mp_obs_kf[mps], np.full((pad, self.mp_obs_kf.shape[1]), -1,
+                                          np.int32)]
+        )
+        obs_ft = np.concatenate(
+            [self.mp_obs_feat[mps],
+             np.full((pad, self.mp_obs_feat.shape[1]), -1, np.int32)]
+        )
+        pos = np.concatenate([self.mp_pos[mps],
+                              np.zeros((pad, 3), np.float32)])
+        ref = np.concatenate([self.mp_ref_kf[mps],
+                              np.full(pad, -1, np.int32)])
+        mir = self.dev_kf.ensure(self)
+        packed = point_attrs.point_attributes(
+            mir["kf_desc"], mir["kf_octave"], jnp.asarray(self.kf_pose),
+            jnp.asarray(obs_kf), jnp.asarray(obs_ft), jnp.asarray(pos),
+            jnp.asarray(ref), jnp.float32(sf), jnp.float32(n_levels - 1),
+        )
+        if hasattr(packed, "copy_to_host_async"):
+            packed.copy_to_host_async()
+        out = np.asarray(packed)[:P]
+        # rows that lost every observation while queued keep old attributes
+        live = (obs_kf[:P] >= 0).any(1)
+        rows = mps[live]
+        out = out[live]
+        self.mp_desc[rows] = np.clip(np.rint(out[:, :32]), 0, 255).astype(
+            np.uint8)
+        self.mp_normal[rows] = out[:, 32:35]
+        self.mp_dmin[rows] = out[:, 35]
+        self.mp_dmax[rows] = out[:, 36]
+        self.mp_ref_kf[rows] = out[:, 37].astype(np.int32)
 
     # ------------------------------------------------------------------
     # Covisibility (†KeyFrame::UpdateConnections)

@@ -54,6 +54,8 @@ class AsyncMappingMixin:
         # local BA aborts when another keyframe is already waiting
         # (†InterruptBA)
         self.local_mapper.interrupt = lambda: not self._kf_queue.empty()
+        # fuse + BA are skipped outright only under real backlog
+        self.local_mapper.backlog = lambda: self._kf_queue.qsize() >= 2
         if self.loop_closer is not None:
             self.loop_closer.background_gba = True
 
@@ -120,16 +122,32 @@ class AsyncMappingMixin:
 
 
 class AsyncSlamSystem(AsyncMappingMixin, SlamSystem):
-    """SlamSystem with mapping + loop closing + GBA off the tracking thread."""
+    """SlamSystem with mapping + loop closing + GBA off the tracking thread.
 
-    def __init__(self, *args, **kwargs):
+    By default tracking is software-pipelined (`pipelined_tracking=True`):
+    each call dispatches the current frame's device work and commits the
+    PREVIOUS frame's result, so the blocking device->host pull of the packed
+    tracking result fully overlaps the next frame's uploads. The returned
+    pose is therefore the previous frame's (one-frame latency); per-frame
+    (frame_id, timestamp, pose) association is exact in
+    `tracker.trajectory` / `save_trajectory_tum`. Pass
+    pipelined_tracking=False for synchronous same-frame returns.
+    """
+
+    def __init__(self, *args, pipelined_tracking: bool = True, **kwargs):
         super().__init__(*args, **kwargs)
         self._map_worker = None
+        self.pipelined_tracking = pipelined_tracking
         self.start_async_mapping()
 
     def _track(self, img, timestamp, depth, right_img=None):
-        pose = self.tracker.track(img, timestamp, depth_map=depth,
-                                  right_img=right_img)
+        if self.pipelined_tracking:
+            pose = self.tracker.track_pipelined(img, timestamp,
+                                                depth_map=depth,
+                                                right_img=right_img)
+        else:
+            pose = self.tracker.track(img, timestamp, depth_map=depth,
+                                      right_img=right_img)
         if self.tracker.reset_requested:
             # early-loss reset: quiesce the workers against the old map,
             # rebuild, then restart them on the fresh one
@@ -137,12 +155,13 @@ class AsyncSlamSystem(AsyncMappingMixin, SlamSystem):
             self.reset()
             self.start_async_mapping()
             return pose
-        kf = getattr(self.tracker, "pending_keyframe", None)
-        if kf is not None and not self.localization_only:
+        for kf in self._drain_keyframes():
             self._kf_queue.put(kf)
-            self.tracker.pending_keyframe = None
         return pose
 
     def shutdown(self):
+        self.tracker.flush_pipeline()
+        for kf in self._drain_keyframes():
+            self._kf_queue.put(kf)
         self.stop_async_mapping(drain=True)
         super().shutdown()

@@ -40,6 +40,13 @@ class SlamSystem:
 
             self.tracker.metrics_log = MetricsLog(metrics_path)
 
+    def warmup(self, verbose: bool = False) -> float:
+        """Pre-trace + pre-load every hot device program (see warmup.py).
+        Call once before the frame loop; returns elapsed seconds."""
+        from .warmup import warmup_system
+
+        return warmup_system(self, verbose=verbose)
+
     def render_snapshot(self, path: str, title: str = ""):
         """Export a top-down map/trajectory PNG (the viewer replacement)."""
         from .utils.telemetry import render_map_snapshot
@@ -74,13 +81,19 @@ class SlamSystem:
             # (†Tracking "Track lost soon after initialisation, reseting...")
             self.reset()
             return pose
-        kf = getattr(self.tracker, "pending_keyframe", None)
-        if kf is not None and not self.localization_only:
+        for kf in self._drain_keyframes():
             self.local_mapper.process_keyframe(kf)
             if self.loop_closer is not None and self.map.kf_valid[kf]:
                 self.loop_closer.process_keyframe(kf)
-            self.tracker.pending_keyframe = None
         return pose
+
+    def _drain_keyframes(self):
+        kfs = self.tracker.pending_keyframes
+        if kfs and not self.localization_only:
+            self.tracker.pending_keyframes = []
+            return kfs
+        kfs.clear()
+        return ()
 
     # ------------------------------------------------------------------
     # Modes / lifecycle (†System::ActivateLocalizationMode / Reset / Shutdown)

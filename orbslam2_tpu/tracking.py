@@ -341,14 +341,16 @@ def _rgbd_virtual_right(depth_map, kp_xy_raw, kp_xy_undist, valid, bf):
     return ur, dep
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("stride",))
 def _rgbd_virtual_right_u16(depth_u16, depth_scale, kp_xy_raw, kp_xy_undist,
-                            valid, bf):
+                            valid, bf, stride: int = 1):
     """u16-quantized variant: dequantize on device after the (4x smaller)
-    H2D transfer."""
+    H2D transfer. With stride > 1 the uploaded map is host-subsampled
+    (depth[::stride, ::stride]) and sampled nearest-neighbor here."""
     H, W = depth_u16.shape
-    xi = jnp.clip(jnp.round(kp_xy_raw[:, 0]).astype(jnp.int32), 0, W - 1)
-    yi = jnp.clip(jnp.round(kp_xy_raw[:, 1]).astype(jnp.int32), 0, H - 1)
+    inv = 1.0 / float(stride)
+    xi = jnp.clip(jnp.round(kp_xy_raw[:, 0] * inv).astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(jnp.round(kp_xy_raw[:, 1] * inv).astype(jnp.int32), 0, H - 1)
     d = depth_u16.reshape(-1)[yi * W + xi].astype(jnp.float32) * depth_scale
     ok = valid & (d > 0)
     dep = jnp.where(ok, d, -1.0)
@@ -402,7 +404,8 @@ class Tracker:
         self.init_ref: Optional[FrameData] = None
         self.ref_kf: int = -1
         self.last_kf_frame_id: int = -1000
-        self.frame_id: int = 0
+        self.frame_id: int = 0       # frames finalized (monotone)
+        self._next_frame_id: int = 0  # frames created (≥ frame_id: pipelining)
         self.n_inliers_last: int = 0
         self.n_tracked_close: int = 0     # device-computed close-point census
         self.n_untracked_close: int = 0   # (refreshed by _unpack_fused)
@@ -415,6 +418,8 @@ class Tracker:
         self.localization_only = False  # no keyframes / no map growth
         self.mapping_busy = lambda: False  # async back-pressure hook
         self.reset_requested = False  # set on loss right after init
+        self.pending_keyframes: List[int] = []  # drained by the system layer
+        self._pending = None  # in-flight pipelined frame (track_pipelined)
 
     # ------------------------------------------------------------------
     def _make_frame(self, img: np.ndarray, timestamp: float,
@@ -456,14 +461,17 @@ class Tracker:
             # any RGB-D sensor's noise floor
             d = np.asarray(depth_map, np.float32)
             scale = np.float32(1e3)
+            stride = max(int(self.cfg.runtime.depth_upload_stride), 1)
             d_u16 = np.where(
                 (d > 0) & (d * scale < 65535.0), d * scale, 0.0
-            ).astype(np.uint16)
+            ).astype(np.uint16)[::stride, ::stride]
             dev["ur"], dev["depth"] = _rgbd_virtual_right_u16(
                 jnp.asarray(d_u16), jnp.float32(1.0 / scale), feats.xy,
-                xy_dev, feats.valid, self.cam.bf,
+                xy_dev, feats.valid, self.cam.bf, stride=stride,
             )
-        return FrameData(self.frame_id, timestamp, dev, n)
+        fid = self._next_frame_id
+        self._next_frame_id += 1
+        return FrameData(fid, timestamp, dev, n)
 
     # ------------------------------------------------------------------
     def track(self, img: np.ndarray, timestamp: float,
@@ -472,13 +480,17 @@ class Tracker:
         """Process one frame; returns Tcw when tracked (else None)."""
         t_start = time.perf_counter()
         frame = self._make_frame(img, timestamp, depth_map, right_img)
+        return self._track_core(frame, t_start)
+
+    def _track_core(self, frame: FrameData,
+                    t_start: float) -> Optional[np.ndarray]:
         new_kf = None
 
         if self.state == TrackingState.NO_IMAGES_YET:
             self.state = TrackingState.NOT_INITIALIZED
 
         if self.state == TrackingState.NOT_INITIALIZED:
-            if depth_map is not None or self._bf > 0:
+            if self.cfg.sensor != "monocular":
                 ok = self._initialize_rgbd(frame)
             else:
                 ok = self._initialize_monocular(frame)
@@ -494,29 +506,49 @@ class Tracker:
                 ok = self._relocalize(frame)
             else:
                 ok = self._track_frame(frame)
-            if ok:
-                self.state = TrackingState.OK
-                if not self.localization_only and self._need_new_keyframe(frame):
-                    new_kf = self._create_keyframe(frame)
-            else:
-                self.state = TrackingState.LOST
-                # †Tracking ≈L430-440: lost right after initialization means
-                # the bootstrap map is junk — request a full system reset
-                # instead of trying to relocalize against it
-                if (not self.localization_only
-                        and int(self.map.kf_valid.sum()) <= 5):
-                    self.reset_requested = True
+            new_kf = self._handle_result(frame, ok)
 
+        self._finalize_frame(frame, new_kf, t_start)
+        return frame.Tcw
+
+    def _handle_result(self, frame: FrameData, ok: bool) -> Optional[int]:
+        """State transition + keyframe decision after a tracking attempt."""
+        new_kf = None
+        if ok:
+            self.state = TrackingState.OK
+            if not self.localization_only and self._need_new_keyframe(frame):
+                new_kf = self._create_keyframe(frame)
+        else:
+            self.state = TrackingState.LOST
+            # †Tracking ≈L430-440: lost right after initialization means
+            # the bootstrap map is junk — request a full system reset
+            # instead of trying to relocalize against it
+            if (not self.localization_only
+                    and int(self.map.kf_valid.sum()) <= 5):
+                self.reset_requested = True
+        return new_kf
+
+    def _finalize_frame(self, frame: FrameData, new_kf: Optional[int],
+                        t_start: float):
+        """Trajectory/velocity/metrics bookkeeping once a frame's result is
+        known (immediately in synchronous mode; one call later in pipelined
+        mode)."""
         if frame.Tcw is not None:
-            self.trajectory.append((frame.frame_id, timestamp, frame.Tcw.copy()))
+            self.trajectory.append(
+                (frame.frame_id, frame.timestamp, frame.Tcw.copy())
+            )
         if self.last_frame is not None and frame.Tcw is not None and \
                 self.last_frame.Tcw is not None:
             self.velocity = frame.Tcw @ np.linalg.inv(self.last_frame.Tcw)
         elif frame.Tcw is None:
             self.velocity = None  # motion model invalid across a loss
         self.last_frame = frame
-        self.frame_id += 1
-        self.pending_keyframe = new_kf
+        self.frame_id = frame.frame_id + 1
+        if new_kf is not None:
+            # queue, not scalar: in pipelined mode one call can finalize two
+            # frames (the committed pending frame + a synchronous fallback),
+            # and both may produce keyframes
+            self.pending_keyframes.append(new_kf)
         if self.metrics_log is not None:
             self.metrics_log.emit(
                 frame=frame.frame_id,
@@ -525,7 +557,56 @@ class Tracker:
                 kf=new_kf if new_kf is not None else -1,
                 track_ms=round((time.perf_counter() - t_start) * 1000, 2),
             )
+
+    # ------------------------------------------------------------------
+    # Pipelined tracking: commit one frame behind the dispatch
+    # ------------------------------------------------------------------
+    def track_pipelined(self, img: np.ndarray, timestamp: float,
+                        depth_map: Optional[np.ndarray] = None,
+                        right_img: Optional[np.ndarray] = None,
+                        ) -> Optional[np.ndarray]:
+        """Software-pipelined variant of track(): dispatch this frame's
+        device work, commit the PREVIOUS frame's result, return the previous
+        frame's pose (one-frame latency).
+
+        On hosts where the device link has significant round-trip latency
+        (relay-attached TPU: ~30 ms/RTT) the synchronous track() pays one
+        blocking D2H pull per frame; here the pull was started asynchronously
+        at dispatch time one call ago, so by commit time the bytes are
+        already on the host and the steady-state cost per frame is just the
+        H2D uploads + host bookkeeping. Initialization, relocalization, and
+        loss handling drop back to the synchronous path (they need the
+        frame's result immediately to decide control flow).
+        """
+        t_start = time.perf_counter()
+        # uploads + extraction first: they do not depend on the previous
+        # frame's pose, so the previous commit's blocking D2H wait below
+        # overlaps this frame's H2D transfers and extraction kernel
+        frame = self._make_frame(img, timestamp, depth_map, right_img)
+        prev_pose = self._commit_pending()
+        if self.state in (TrackingState.NO_IMAGES_YET,
+                          TrackingState.NOT_INITIALIZED,
+                          TrackingState.LOST):
+            # control-flow states need this frame's result now
+            return self._track_core(frame, t_start)
+        sel, packed = self._dispatch_track(frame)
+        self._pending = (frame, sel, packed, t_start)
+        return prev_pose
+
+    def _commit_pending(self) -> Optional[np.ndarray]:
+        if self._pending is None:
+            return None
+        frame, sel, packed, t_start = self._pending
+        self._pending = None
+        ok = self._finish_track(frame, sel, packed)
+        new_kf = self._handle_result(frame, ok)
+        self._finalize_frame(frame, new_kf, t_start)
         return frame.Tcw
+
+    def flush_pipeline(self) -> Optional[np.ndarray]:
+        """Commit any in-flight pipelined frame (call before reading
+        trajectory/state at shutdown)."""
+        return self._commit_pending()
 
     # ------------------------------------------------------------------
     # Initialization
@@ -779,7 +860,14 @@ class Tracker:
         frustum = p[20 + 2 * P:] > 0.5
         return Tcw, n_motion, n_final, inl, kp_of_mp, frustum
 
-    def _track_frame(self, frame: FrameData) -> bool:
+    def _dispatch_track(self, frame: FrameData):
+        """Dispatch the fused tracking cascade for one frame (non-blocking).
+
+        Returns (sel, packed): the local-map id selection and the packed
+        device result. The packed D2H copy is started asynchronously, so a
+        caller that commits one frame behind (track_pipelined) pays zero
+        round-trip latency for the pull.
+        """
         m = self.map
         sel, buf = self._gather_local_points()
         if self.localization_only:
@@ -812,6 +900,15 @@ class Tracker:
             jnp.float32(radius), jnp.float32(cfge.scale_factor),
             cfge.n_levels, self.cfg.tracking.min_inliers_track,
         )
+        if hasattr(packed, "copy_to_host_async"):
+            packed.copy_to_host_async()
+        return sel, packed
+
+    def _track_frame(self, frame: FrameData) -> bool:
+        sel, packed = self._dispatch_track(frame)
+        return self._finish_track(frame, sel, packed)
+
+    def _finish_track(self, frame: FrameData, sel, packed) -> bool:
         Tcw2, n_inl, n_inl2, inl, kp_of_mp, frustum = self._unpack_fused(packed)
         if (n_inl < self.cfg.tracking.min_inliers_track
                 or n_inl2 < self.cfg.tracking.min_inliers_local_map):
@@ -880,16 +977,23 @@ class Tracker:
                 if self.last_frame is not None and self.last_frame.Tcw is not None
                 else m.kf_pose[cand])
         sf = self.cfg.extractor.scale_factor
+        # fixed-capacity padding: optimize_pose at the raw match count would
+        # trace a fresh program per distinct N (each first dispatch stalls
+        # the relay link ~0.5 s); max_keypoints matches the warmup signature
+        Np = self.cfg.extractor.max_keypoints
         N = len(fidx)
-        obs = np.concatenate(
-            [frame.xy[fidx].astype(np.float32),
-             frame.ur[fidx].astype(np.float32)[:, None]], axis=1
-        )
+        pos_p = np.zeros((Np, 3), np.float32)
+        pos_p[:N] = m.mp_pos[mps]
+        obs_p = np.zeros((Np, 3), np.float32)
+        obs_p[:N, :2] = frame.xy[fidx]
+        obs_p[:N, 2] = frame.ur[fidx]
+        sig_p = np.ones(Np, np.float32)
+        sig_p[:N] = sf ** (2.0 * frame.octave[fidx].astype(np.float32))
+        val_p = np.zeros(Np, bool)
+        val_p[:N] = True
         opt = po.optimize_pose(
-            jnp.asarray(Tcw0), self.cam, jnp.asarray(m.mp_pos[mps]),
-            jnp.asarray(obs),
-            jnp.asarray(sf ** (2.0 * frame.octave[fidx].astype(np.float32))),
-            jnp.ones(N, bool),
+            jnp.asarray(Tcw0), self.cam, jnp.asarray(pos_p),
+            jnp.asarray(obs_p), jnp.asarray(sig_p), jnp.asarray(val_p),
         )
         if int(opt.n_inliers) < 10:  # †nmatchesMap < 10 -> fail
             return False

@@ -20,13 +20,15 @@ def test_async_rgbd_tracks():
         extractor=ExtractorConfig(n_features=500, n_levels=4),
     )
     slam = AsyncSlamSystem(cfg)
+    for i, (img, depth) in enumerate(frames):
+        slam.track_rgbd(img, depth, i / 30.0)
+    slam.shutdown()  # flushes the tracking pipeline + drains the queue
+    # pipelined tracking returns poses one frame late; the trajectory log
+    # carries the exact (frame_id, pose) association
     est, gt = [], []
-    for i, ((img, depth), T_true) in enumerate(zip(frames, poses)):
-        pose = slam.track_rgbd(img, depth, i / 30.0)
-        if pose is not None:
-            est.append(np.linalg.inv(pose)[:3, 3])
-            gt.append(np.linalg.inv(T_true)[:3, 3])
-    slam.shutdown()  # drains the queue
+    for fid, _, Tcw in slam.tracker.trajectory:
+        est.append(np.linalg.inv(Tcw)[:3, 3])
+        gt.append(np.linalg.inv(poses[fid])[:3, 3])
     assert len(est) >= 28
     err = ate_rmse(np.array(est), np.array(gt), with_scale=False)
     assert err < 0.08, err
