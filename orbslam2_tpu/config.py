@@ -144,6 +144,13 @@ class RuntimeConfig:
     # and everything downstream is chi^2-gated (A/B on the synthetic RGB-D
     # e2e suite: ATE unchanged). Set 1 to restore exact per-pixel sampling.
     depth_upload_stride: int = 2
+    # Pipelined-tracking depth: number of frames left in flight on device
+    # after each track_pipelined call (pose/result lag = this many frames).
+    # Depth 1 already overlaps the packed D2H with the next frame's uploads;
+    # depth 2 additionally gives the device a full frame time to finish
+    # before the host ever blocks (device-chained prediction makes the extra
+    # depth free of data dependencies).
+    pipeline_depth: int = 2
     # local BA window capacities (gathered compact buffers, SURVEY §7.3.1)
     local_ba_max_kfs: int = 32
     local_ba_max_fixed_kfs: int = 32

