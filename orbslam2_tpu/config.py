@@ -96,6 +96,11 @@ class TrackingConfig:
     min_inliers_after_reloc: int = 50
     motion_model_radius: float = 15.0   # mono search window th (7 stereo)
     local_map_size: int = 80            # max local keyframes
+    # Padded device capacity of the tracked local-point buffer (TPU-native;
+    # the reference's local map is unbounded). Overflow drops the weakest-
+    # covisibility points with a log line; the packed per-frame D2H is
+    # 20+cap floats (one code per point).
+    local_map_point_cap: int = 8192
 
 
 @dataclass

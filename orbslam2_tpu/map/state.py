@@ -305,6 +305,31 @@ class MapState:
         self.mp_dmax[ids] = np.inf
         return ids
 
+    OBS_SLOT_LIMIT = 512  # hard ceiling for obs-table growth
+
+    def _grow_obs_table(self) -> bool:
+        """Double the per-point observation capacity (columns).
+
+        The reference's observation map is unbounded (†MapPoint::mObservations
+        std::map); a fixed column count is a TPU-layout artifact, so when it
+        fills we grow it rather than drop observations (dropping was a
+        covisibility/culling recall cliff at exactly the map sizes where
+        strong, long-lived points exceed 32 observers). Consumers that jit on
+        the column width (point-attribute refresh) simply trace one more
+        signature at the new width — a one-off, keyframe-rate cost.
+        """
+        O = self.mp_obs_kf.shape[1]
+        new_o = min(O * 2, self.OBS_SLOT_LIMIT)
+        if new_o == O:
+            return False
+        pad_kf = np.full((self.mp_obs_kf.shape[0], new_o - O), -1, np.int32)
+        self.mp_obs_kf = np.concatenate([self.mp_obs_kf, pad_kf], axis=1)
+        self.mp_obs_feat = np.concatenate(
+            [self.mp_obs_feat, pad_kf.copy()], axis=1
+        )
+        print(f"[map] obs table grown: {O} -> {new_o} slots/point")
+        return True
+
     def add_observations_batch(self, mps: np.ndarray, kf: int,
                                feats: np.ndarray):
         """Vectorized add_observation: bind each (mp, feat) pair to `kf`.
@@ -320,11 +345,14 @@ class MapState:
         mps, feats = mps[fresh], feats[fresh]
         if len(mps) == 0:
             return
-        slots = self.mp_obs_kf[mps]                     # (n, O)
-        has_free = (slots < 0).any(axis=1)
+        while True:
+            slots = self.mp_obs_kf[mps]                 # (n, O)
+            has_free = (slots < 0).any(axis=1)
+            if has_free.all() or not self._grow_obs_table():
+                break
         s = np.argmax(slots < 0, axis=1)                # first free slot
         n_drop = int((~has_free).sum())
-        if n_drop:
+        if n_drop:  # only at the hard OBS_SLOT_LIMIT ceiling
             self.obs_drops += n_drop
             print(f"[map] obs table full: dropped {self.obs_drops} "
                   f"observations so far (slots={slots.shape[1]})")
@@ -366,9 +394,10 @@ class MapState:
             return
         slots = self.mp_obs_kf[mp]
         free = np.where(slots < 0)[0]
-        if len(free) == 0:
-            # observation table full — drop, but never silently: this is a
-            # recall cliff if it ever becomes common (raise obs slots then)
+        if len(free) == 0 and self._grow_obs_table():
+            slots = self.mp_obs_kf[mp]
+            free = np.where(slots < 0)[0]
+        if len(free) == 0:  # only at the hard OBS_SLOT_LIMIT ceiling
             self.obs_drops += 1
             if self.obs_drops & (self.obs_drops - 1) == 0:  # 1,2,4,8,...
                 print(f"[map] obs table full: dropped {self.obs_drops} "

@@ -311,15 +311,23 @@ def _fused_cascade(
     n_tracked_close = jnp.sum((close & kp_tracked).astype(jnp.int32))
     n_untracked_close = jnp.sum((close & ~kp_tracked).astype(jnp.int32))
 
+    # Per-point (inl, kp_of_mp, frustum) packed into ONE small integer each
+    # ((idx+1)<<2 | inl<<1 | frustum — exact in f32 for any idx < 2^22), so
+    # the per-frame D2H is 20+P floats instead of 20+3P: on relay-attached
+    # rigs this transfer is the frame's largest pull and bounds how far the
+    # local-map capacity can be raised.
+    code = (
+        (kp_of_mp + 1) * 4
+        + inl.astype(jnp.int32) * 2
+        + (mp_valid & frustum).astype(jnp.int32)
+    )
     packed = jnp.concatenate([
         Tcw.reshape(-1),
         n_motion.astype(jnp.float32)[None],
         n_final.astype(jnp.float32)[None],
         n_tracked_close.astype(jnp.float32)[None],
         n_untracked_close.astype(jnp.float32)[None],
-        inl.astype(jnp.float32),
-        kp_of_mp.astype(jnp.float32),
-        (mp_valid & frustum).astype(jnp.float32),
+        code.astype(jnp.float32),
     ])
     return packed, Tcw
 
@@ -492,7 +500,7 @@ class Tracker:
         self.n_inliers_last: int = 0
         self.n_tracked_close: int = 0     # device-computed close-point census
         self.n_untracked_close: int = 0   # (refreshed by _unpack_fused)
-        self.local_point_cap = 4096
+        self.local_point_cap = int(cfg.tracking.local_map_point_cap)
         self._rng = np.random.default_rng(cfg.runtime.seed)
         # trajectory log: (frame_id, timestamp, Tcw) for every tracked frame
         self.trajectory: List[Tuple[int, float, np.ndarray]] = []
@@ -961,17 +969,21 @@ class Tracker:
         return Tcw, n_inl, inl, kp_of_mp, mvalid, frustum
 
     def _unpack_fused(self, packed):
-        """Split track_frame_fused's packed result (the frame's single D2H)."""
+        """Split track_frame_fused's packed result (the frame's single D2H).
+
+        The per-point tail is one code per local-map point:
+        (kp_idx+1)<<2 | inlier<<1 | frustum (see _fused_cascade).
+        """
         p = np.asarray(packed)
-        P = self.local_point_cap
         Tcw = p[:16].reshape(4, 4).astype(np.float32)
         n_motion = int(p[16])
         n_final = int(p[17])
         self.n_tracked_close = int(p[18])
         self.n_untracked_close = int(p[19])
-        inl = p[20: 20 + P] > 0.5
-        kp_of_mp = p[20 + P: 20 + 2 * P].astype(np.int32)
-        frustum = p[20 + 2 * P:] > 0.5
+        code = p[20:].astype(np.int32)
+        kp_of_mp = (code >> 2) - 1
+        inl = (code & 2) > 0
+        frustum = (code & 1) > 0
         return Tcw, n_motion, n_final, inl, kp_of_mp, frustum
 
     def _dispatch_track(self, frame: FrameData):

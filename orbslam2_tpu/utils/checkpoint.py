@@ -50,10 +50,13 @@ def load_map(path: str, cfg: SlamConfig, kfdb=None) -> MapState:
             tgt = getattr(m, f.name)
             src = data[f.name]
             if tgt.shape != src.shape:
-                raise ValueError(
-                    f"capacity mismatch for {f.name}: saved {src.shape}, "
-                    f"config allocates {tgt.shape}"
-                )
+                # capacities grow at runtime (KF slot growth, obs-table
+                # growth), so a saved map's shapes are authoritative; the
+                # config's capacities are only the *initial* allocation.
+                # All arrays are saved atomically, so adopting the saved
+                # shapes keeps them mutually consistent.
+                print(f"[checkpoint] adopting saved capacity for {f.name}: "
+                      f"{src.shape} (config allocates {tgt.shape})")
             setattr(m, f.name, src.copy())
     for s in _SCALARS:
         setattr(m, s, int(data[s]))
