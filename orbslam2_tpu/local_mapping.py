@@ -238,6 +238,19 @@ class LocalMapper:
         # spiral: less fusion -> more duplicate points -> fewer inliers ->
         # more urgent keyframes -> more backlog.
         self.backlog = lambda: False
+        # EMA of the wall-clock cost of one keyframe's mapping phases,
+        # maintained by whoever drives process_keyframe (the async worker).
+        # The tracker paces its idle-mapper keyframe gate against this, so
+        # keyframe admission converges to the rate mapping can sustain
+        # instead of oscillating with queue-timing luck (the round-3
+        # "keyframe-rate bistability": 13-31 KFs on the same sequence).
+        self.kf_proc_ema_s = 0.0
+
+    def note_kf_processed(self, seconds: float, alpha: float = 0.3):
+        if self.kf_proc_ema_s == 0.0:
+            self.kf_proc_ema_s = seconds
+        else:
+            self.kf_proc_ema_s += alpha * (seconds - self.kf_proc_ema_s)
 
     # ------------------------------------------------------------------
     def process_keyframe(self, kf: int, run_ba: bool = True):

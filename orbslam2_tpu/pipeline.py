@@ -51,6 +51,10 @@ class AsyncMappingMixin:
         self._loop_worker.start()
         # tracker back-pressure hook
         self.tracker.mapping_busy = lambda: not self._kf_queue.empty()
+        # c1b pacing: the mapper's measured per-keyframe cost
+        self.tracker.mapping_kf_cost = (
+            lambda: self.local_mapper.kf_proc_ema_s
+        )
         # local BA aborts when another keyframe is already waiting
         # (†InterruptBA)
         self.local_mapper.interrupt = lambda: not self._kf_queue.empty()
@@ -73,8 +77,14 @@ class AsyncMappingMixin:
                 # sections hold it, device round trips (triangulation/fuse
                 # kernels, LM chunks) run WITHOUT it, so the tracker's
                 # keyframe insertion never waits on device latency
+                import time
+
+                t0 = time.perf_counter()
                 for phase in self.local_mapper.keyframe_phases(kf):
                     phase()
+                self.local_mapper.note_kf_processed(
+                    time.perf_counter() - t0
+                )
                 if self.loop_closer is not None and self.map.kf_valid[kf]:
                     self._loop_queue.put(kf)
             except Exception as e:  # surface, don't kill the worker silently
@@ -118,6 +128,7 @@ class AsyncMappingMixin:
         self._map_worker = None
         self._loop_worker = None
         self.tracker.mapping_busy = lambda: False
+        self.tracker.mapping_kf_cost = lambda: 0.0
         self.local_mapper.interrupt = lambda: False
 
 

@@ -508,6 +508,8 @@ class Tracker:
         self.metrics_log = None  # optional utils.telemetry.MetricsLog
         self.localization_only = False  # no keyframes / no map growth
         self.mapping_busy = lambda: False  # async back-pressure hook
+        # seconds one keyframe costs the mapper (0 = unknown); paces c1b
+        self.mapping_kf_cost = lambda: 0.0
         self.reset_requested = False  # set on loss right after init
         self.pending_keyframes: List[int] = []  # drained by the system layer
         # pipelined tracking: FIFO of in-flight dispatched frames (up to
@@ -1294,7 +1296,17 @@ class Tracker:
             th_ref = 0.4
 
         c1a = since >= tcfg.max_frames_between_kf
-        c1b = since >= max(tcfg.min_frames_between_kf, 3) and \
+        # c1b pacing: "mapper idle" alone is a timing race (13-31 KFs
+        # run-to-run on one sequence — round-3 bistability). Require the
+        # inter-KF gap to also cover the mapper's measured per-keyframe
+        # cost, so admission converges to the sustainable mapping rate.
+        # Urgency (c1a deadline, c1c close-point starvation) still
+        # overrides the pace.
+        pace = min(
+            self.mapping_kf_cost() * self.cfg.camera.fps,
+            0.5 * tcfg.max_frames_between_kf,
+        )
+        c1b = since >= max(tcfg.min_frames_between_kf, 3, pace) and \
             not self.mapping_busy()
         c1c = has_depth and (
             self.n_inliers_last < ref_tracked * 0.25 or need_close)
