@@ -4,15 +4,25 @@ Replaces g2o's BlockSolver_6_3 + LinearSolverEigen pipeline
 (†src/Optimizer.cc:LocalBundleAdjustment / BundleAdjustment, SURVEY §2.6):
 instead of a sparse hyper-graph, the problem arrives as fixed-capacity
 arrays — a per-point observation table — and one LM iteration is a handful of
-einsums + segment reductions + one dense Cholesky of the reduced camera
-system:
+vectorized block products + two MXU matmuls + one dense Cholesky of the
+reduced camera system:
 
-    D_m   = sum_o  Jl^T W Jl          (3x3 per landmark, batched inverse)
-    H_cc  = sum_e  Jp^T W Jp          (6x6 per camera, segment-sum)
+    D_m   = sum_o  Jl^T W Jl          (3x3 per landmark, closed-form inverse)
+    H_cc  = sum_e  Jp^T W Jp          (6x6 per camera, one-hot matmul)
     E_mo  = Jp^T W Jl                 (6x3 per observation)
     S     = H_cc - sum_m E D^-1 E^T   (dense (6K, 6K) reduced system)
-    S dc  = -(b_c - E D^-1 b_l)       (Cholesky; K <= a few hundred)
+    S dc  = -(b_c - E D^-1 b_l)       (Cholesky; S is SPD after damping)
     dl_m  = -D^-1 (b_l + E^T dc)      (back-substitution, batched)
+
+TPU layout note (the part that matters for speed): every per-observation
+tensor is stored OBSERVATION-LAST — components lead, the M (and O) axes sit
+in the trailing (sublane, lane) tile dims. A (M, O, 3, 6) Jacobian tensor
+would be tiled as (.., 8, 128) on TPU — a ~50x HBM blowup for 3x6 blocks —
+whereas (3, 6, O, M) keeps O=8 sublanes and M=4096 lanes fully dense. Small
+3x3/3x6 block algebra unrolls into Python-level loops over lane-shaped
+arrays (VPU), and all camera-indexed reductions contract over the O*M axis
+on the MXU via a single 0/1 one-hot matrix that is built once per solve and
+closed over by the LM loop (loop-invariant).
 
 Dense S is deliberate: SLAM maps have K in the tens-to-hundreds per window,
 so (6K)^2 easily fits VMEM/HBM and the Cholesky runs on the MXU — the
@@ -31,13 +41,12 @@ Landmarks: points (M, 3) with point_valid (M,).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from . import geometry as geo
-from . import linalg_small
 from . import precision
 from ..models.camera import Camera
 
@@ -63,54 +72,129 @@ class BAResult(NamedTuple):
     cost: jnp.ndarray        # () final robust cost
 
 
-def _project_residuals(cam: Camera, poses, points, prob: BAProblem):
-    """Residuals r (M, O, 3), Jacobians Jp (M, O, 3, 6), Jl (M, O, 3, 3),
-    and depth z (M, O) for every observation."""
-    kf = jnp.maximum(prob.obs_kf, 0)
-    T = poses[kf]                       # (M, O, 4, 4)
-    R = T[..., :3, :3]
-    t = T[..., :3, 3]
-    pc = jnp.einsum("moij,mj->moi", R, points) + t   # (M, O, 3)
-    x, y = pc[..., 0], pc[..., 1]
-    z = jnp.maximum(pc[..., 2], 1e-6)
+class _ObsT(NamedTuple):
+    """Loop-invariant observation data in observation-last layout."""
+    onehot: jnp.ndarray      # (K, O*M) 0/1 camera incidence (0 for invalid)
+    uvr: jnp.ndarray         # (3, O, M)
+    sigma2: jnp.ndarray      # (O, M)
+    is_stereo: jnp.ndarray   # (O, M) bool
+    point_valid: jnp.ndarray  # (M,) bool
+
+
+def _transpose_obs(prob: BAProblem) -> _ObsT:
+    K = prob.poses.shape[0]
+    kf_t = prob.obs_kf.T                                    # (O, M)
+    n = kf_t.reshape(-1)                                    # (O*M,)
+    onehot = (
+        (jnp.maximum(n, 0)[None, :] == jnp.arange(K, dtype=n.dtype)[:, None])
+        & (n >= 0)[None, :]
+    ).astype(prob.poses.dtype)                              # (K, N)
+    uvr = jnp.moveaxis(prob.obs_uvr, -1, 0).transpose(0, 2, 1)  # (3, O, M)
+    return _ObsT(
+        onehot=onehot,
+        uvr=uvr,
+        sigma2=prob.obs_sigma2.T,
+        is_stereo=uvr[2] >= 0,
+        point_valid=prob.point_valid,
+    )
+
+
+def _mul(a, b):
+    """Sparse small-block multiply: None = structural zero, 1.0 = identity."""
+    if a is None or b is None:
+        return None
+    if isinstance(b, float):
+        a, b = b, a
+    if isinstance(a, float):
+        if a == 0.0:
+            return None
+        if a == 1.0:
+            return b
+        if a == -1.0:
+            return -b
+        return a * b
+    return a * b
+
+
+def _acc(s, t):
+    if t is None:
+        return s
+    return t if s is None else s + t
+
+
+def _smm(A, B):
+    """(n x k) @ (k x m) over lists of lane-shaped arrays / None / floats."""
+    n, k, m = len(A), len(B), len(B[0])
+    return [
+        [
+            functools.reduce(_acc, (_mul(A[i][a], B[a][j]) for a in range(k)), None)
+            for j in range(m)
+        ]
+        for i in range(n)
+    ]
+
+
+def _project_t(cam, poses, points, obst: _ObsT):
+    """Residuals and Jacobians in observation-last layout.
+
+    Returns r (list of 3 (O,M)), Jp (3x6 lists), Jl (3x3 lists), z (O,M).
+    The per-observation camera pose is gathered with one (16,K)@(K,N) matmul
+    against the 0/1 one-hot (exact to f32 via HIGHEST precision) — a plain
+    gather would materialize an (O,M,4,4) tensor whose trailing (4,4) tile
+    pads 128x on TPU.
+    """
+    K = poses.shape[0]
+    O, M = obst.sigma2.shape
+    Tg = jnp.einsum(
+        "ck,kn->cn", poses.reshape(K, 16).T, obst.onehot,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(4, 4, O, M)
+    R = [[Tg[i, j] for j in range(3)] for i in range(3)]
+    t = [Tg[i, 3] for i in range(3)]
+    pts = [points[:, 0], points[:, 1], points[:, 2]]        # (M,) each
+    pc = [
+        R[i][0] * pts[0] + R[i][1] * pts[1] + R[i][2] * pts[2] + t[i]
+        for i in range(3)
+    ]
+    x, y = pc[0], pc[1]
+    z = jnp.maximum(pc[2], 1e-6)
     inv_z = 1.0 / z
     inv_z2 = inv_z * inv_z
 
     u = cam.fx * x * inv_z + cam.cx
     v = cam.fy * y * inv_z + cam.cy
-    ur = u - cam.bf * inv_z
-    is_stereo = prob.obs_uvr[..., 2] >= 0
+    st = obst.is_stereo
+    r = [
+        u - obst.uvr[0],
+        v - obst.uvr[1],
+        jnp.where(st, (u - cam.bf * inv_z) - obst.uvr[2], 0.0),
+    ]
 
-    r = jnp.stack(
-        [
-            u - prob.obs_uvr[..., 0],
-            v - prob.obs_uvr[..., 1],
-            jnp.where(is_stereo, ur - prob.obs_uvr[..., 2], 0.0),
-        ],
-        axis=-1,
-    )
-
-    zero = jnp.zeros_like(x)
-    Ju = jnp.stack([cam.fx * inv_z, zero, -cam.fx * x * inv_z2], axis=-1)
-    Jv = jnp.stack([zero, cam.fy * inv_z, -cam.fy * y * inv_z2], axis=-1)
-    Jur = jnp.stack(
-        [cam.fx * inv_z, zero, -cam.fx * x * inv_z2 + cam.bf * inv_z2], axis=-1
-    )
-    Jpix = jnp.stack(
-        [Ju, Jv, jnp.where(is_stereo[..., None], Jur, 0.0)], axis=-2
-    )  # (M, O, 3, 3) d(pixel)/d(pc)
-
-    # d(pc)/d(xi), left twist on Tcw: [I | -[pc]x]
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), pc.shape[:-1] + (3, 3))
-    Jpc_pose = jnp.concatenate([eye, -geo.hat(pc)], axis=-1)  # (M, O, 3, 6)
-    Jp = Jpix @ Jpc_pose                                       # (M, O, 3, 6)
-    # d(pc)/d(point) = R
-    Jl = Jpix @ R                                              # (M, O, 3, 3)
-    return r, Jp, Jl, z, is_stereo
+    jp00 = cam.fx * inv_z
+    jp02 = -cam.fx * x * inv_z2
+    jp11 = cam.fy * inv_z
+    jp12 = -cam.fy * y * inv_z2
+    stf = st.astype(z.dtype)
+    Jpix = [
+        [jp00, None, jp02],
+        [None, jp11, jp12],
+        [stf * jp00, None, stf * (jp02 + cam.bf * inv_z2)],
+    ]
+    # d(pc)/d(xi) = [I | -hat(pc)] (left twist on Tcw)
+    Jpose = [
+        [1.0, None, None, None, z, -y],
+        [None, 1.0, None, -z, None, x],
+        [None, None, 1.0, y, -x, None],
+    ]
+    Jp = _smm(Jpix, Jpose)     # 3 x 6 of (O, M)
+    Jl = _smm(Jpix, R)         # 3 x 3 of (O, M)
+    return r, Jp, Jl, z
 
 
-def _robust_weights(r, sigma2, is_stereo, valid, z, use_huber):
-    chi2 = jnp.sum(r * r, axis=-1) / jnp.maximum(sigma2, 1e-12)
+def _robust_t(r, sigma2, is_stereo, valid, z, use_huber):
+    """Huber weights + chi2 + robust cost, all (O, M)."""
+    rr = functools.reduce(_acc, (ri * ri for ri in r), None)
+    chi2 = rr / jnp.maximum(sigma2, 1e-12)
     delta2 = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
     w_huber = jnp.where(
         chi2 <= delta2, 1.0, jnp.sqrt(delta2 / jnp.maximum(chi2, 1e-12))
@@ -122,90 +206,147 @@ def _robust_weights(r, sigma2, is_stereo, valid, z, use_huber):
         chi2,
         2.0 * jnp.sqrt(delta2 * jnp.maximum(chi2, 1e-12)) - delta2,
     )
-    cost = jnp.sum(jnp.where(valid, jnp.where(use_huber, rho, jnp.minimum(chi2, 1e6)), 0.0))
+    cost = jnp.sum(
+        jnp.where(valid, jnp.where(use_huber, rho, jnp.minimum(chi2, 1e6)), 0.0)
+    )
     return w, chi2, cost
 
 
-def _build_and_solve(cam, poses, points, prob, valid_obs, use_huber, lam,
-                     axis_name=None):
-    """One normal-equation build + Schur solve. Returns (dc (K,6), dl (M,3)).
+def _cost_t(cam, poses, points, obst, valid_t, use_huber, axis_name=None):
+    r, _, _, z = _project_t(cam, poses, points, obst)
+    _, chi2, cost = _robust_t(r, obst.sigma2, obst.is_stereo, valid_t, z,
+                              use_huber)
+    if axis_name is not None:
+        cost = jax.lax.psum(cost, axis_name)
+    return cost, chi2
 
-    With `axis_name` set (inside shard_map over the landmark axis), the
-    reduced system S and RHS are psum-reduced across the mesh before the
-    (replicated) solve — the multi-chip Schur reduction of SURVEY §5.7.
-    """
+
+def _schur_solve(S, b_S, opt_mask, lam):
+    """Fix non-optimized cameras, damp, and Cholesky-solve S dc = -b_S."""
+    K = opt_mask.shape[0]
+    fixedv = jnp.repeat(~opt_mask, 6)                        # (6K,)
+    keep = (~fixedv[:, None]) & (~fixedv[None, :])
+    S = jnp.where(keep, S, 0.0) + jnp.diag(fixedv.astype(S.dtype))
+    b_S = jnp.where(fixedv, 0.0, b_S)
+    # LM damping scaled by each camera block's mean diagonal.
+    d = jnp.diagonal(S)
+    tr_k = d.reshape(K, 6).mean(axis=1)
+    add = lam * jnp.maximum(tr_k, 1e-6)
+    Sd = S + jnp.diag(jnp.repeat(add, 6))
+    Sd = 0.5 * (Sd + Sd.T)  # exact symmetry for the Cholesky
+    L = jnp.linalg.cholesky(Sd)
+    dc = -jax.scipy.linalg.cho_solve((L, True), b_S)
+    dc = jnp.where(fixedv, 0.0, dc).reshape(K, 6)
+    return jnp.where(opt_mask[:, None], dc, 0.0)
+
+
+def _build_and_solve(cam, poses, points, prob: BAProblem, obst: _ObsT,
+                     valid_t, use_huber, lam, axis_name=None):
+    """One LM step: build (obs-last layout), Schur-solve, back-substitute."""
     K = poses.shape[0]
-    r, Jp, Jl, z, is_stereo = _project_residuals(cam, poses, points, prob)
-    w, _, _ = _robust_weights(r, prob.obs_sigma2, is_stereo, valid_obs, z, use_huber)
+    O, M = obst.sigma2.shape
+    N = O * M
+    r, Jp, Jl, z = _project_t(cam, poses, points, obst)
+    w, _, _ = _robust_t(r, obst.sigma2, obst.is_stereo, valid_t, z, use_huber)
 
-    Jp_w = Jp * w[..., None, None]
-    # Per-landmark 3x3 and per-camera 6x6 blocks.
-    D = jnp.einsum("mori,morj->mij", Jl * w[..., None, None], Jl)  # (M, 3, 3)
-    b_l = jnp.einsum("mori,mor->mi", Jl * w[..., None, None], r)   # (M, 3)
-    E_blk = jnp.einsum("mori,morj->moij", Jp_w, Jl)                # (M, O, 6, 3)
+    Jpw = [[None if Jp[i][c] is None else w * Jp[i][c] for c in range(6)]
+           for i in range(3)]
+    Jlw = [[None if Jl[i][j] is None else w * Jl[i][j] for j in range(3)]
+           for i in range(3)]
 
-    # Camera-indexed reductions as one-hot matmuls: scatters serialize on
-    # TPU, the MXU does not. onehot is (M, O, K) with zero rows for invalid.
-    onehot = (
-        jnp.maximum(prob.obs_kf, 0)[..., None]
-        == jnp.arange(K, dtype=prob.obs_kf.dtype)[None, None, :]
-    ).astype(poses.dtype) * (prob.obs_kf >= 0)[..., None].astype(poses.dtype)
-    Hcc_e = jnp.einsum("mori,morj->moij", Jp_w, Jp)                # (M, O, 6, 6)
-    bc_e = jnp.einsum("mori,mor->moi", Jp_w, r)                    # (M, O, 6)
-    H_cc = jnp.einsum("mok,moij->kij", onehot, Hcc_e)              # (K, 6, 6)
-    b_c = jnp.einsum("mok,moi->ki", onehot, bc_e)                  # (K, 6)
+    def _red_m(t):
+        return jnp.zeros(M, dtype=w.dtype) if t is None else t.sum(axis=0)
 
-    # Damped landmark-block inverses.
+    D = [[_red_m(functools.reduce(
+        _acc, (_mul(Jlw[a][i], Jl[a][j]) for a in range(3)), None))
+        for j in range(3)] for i in range(3)]
+    b_l = [_red_m(functools.reduce(
+        _acc, (_mul(Jlw[a][i], r[a]) for a in range(3)), None))
+        for i in range(3)]
+
+    E = [[functools.reduce(
+        _acc, (_mul(Jpw[a][c], Jl[a][j]) for a in range(3)), None)
+        for j in range(3)] for c in range(6)]
+    zeros_n = jnp.zeros((O, M), dtype=w.dtype)
+
+    def _nz(t):
+        return zeros_n if t is None else t
+
+    rows = []
+    for i in range(6):
+        for j in range(6):
+            rows.append(_nz(functools.reduce(
+                _acc, (_mul(Jpw[a][i], Jp[a][j]) for a in range(3)), None)))
+    for i in range(6):
+        rows.append(_nz(functools.reduce(
+            _acc, (_mul(Jpw[a][i], r[a]) for a in range(3)), None)))
+    Hb = jnp.stack(rows, 0).reshape(42, N)
+    red = jnp.einsum("kn,cn->kc", obst.onehot, Hb)           # (K, 42)
+    H_cc = red[:, :36].reshape(K, 6, 6)
+    b_c = red[:, 36:]
+
     lamI = 1e-9 + lam
-    D_damped = D + lamI * jnp.eye(3, dtype=D.dtype) * jnp.maximum(
-        jnp.trace(D, axis1=-2, axis2=-1)[..., None, None] / 3.0, 1e-6
-    )
-    D_inv = linalg_small.inv3x3(D_damped + 1e-8 * jnp.eye(3, dtype=D.dtype))
-    D_inv = jnp.where(prob.point_valid[:, None, None], D_inv, 0.0)
+    trD = D[0][0] + D[1][1] + D[2][2]
+    damp = lamI * jnp.maximum(trD / 3.0, 1e-6) + 1e-8
+    a_, b_, c_ = D[0][0] + damp, D[0][1], D[0][2]
+    d_, e_, f_ = D[1][0], D[1][1] + damp, D[1][2]
+    g_, h_, i_ = D[2][0], D[2][1], D[2][2] + damp
+    co = [
+        [e_ * i_ - f_ * h_, c_ * h_ - b_ * i_, b_ * f_ - c_ * e_],
+        [f_ * g_ - d_ * i_, a_ * i_ - c_ * g_, c_ * d_ - a_ * f_],
+        [d_ * h_ - e_ * g_, b_ * g_ - a_ * h_, a_ * e_ - b_ * d_],
+    ]
+    det = a_ * co[0][0] + b_ * co[1][0] + c_ * co[2][0]
+    inv_det = jnp.where(obst.point_valid,
+                        1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det),
+                        0.0)
+    Dinv = [[co[i][j] * inv_det for j in range(3)] for i in range(3)]
 
-    # Schur complement S (dense) and reduced RHS, via the same one-hot trick:
-    # S -= sum_m (sum_o1 onehot*ED)[m,k,i,c] . (sum_o2 onehot*E)[m,l,j,c]
-    ED = jnp.einsum("moij,mjk->moik", E_blk, D_inv)                # (M, O, 6, 3)
-    P_blk = jnp.einsum("mok,moic->mkic", onehot, ED)               # (M, K, 6, 3)
-    Q_blk = jnp.einsum("mok,mojc->mkjc", onehot, E_blk)            # (M, K, 6, 3)
-    S = -jnp.einsum("mkic,mljc->klij", P_blk, Q_blk)               # (K, K, 6, 6)
-    diag = jnp.arange(K)
-    S = S.at[diag, diag].add(H_cc)
+    ED = [[functools.reduce(
+        _acc, (_mul(E[c][a], Dinv[a][j]) for a in range(3)), None)
+        for j in range(3)] for c in range(6)]
+    EDs = jnp.stack([_nz(ED[c][j]) for c in range(6) for j in range(3)], 0)
+    Es = jnp.stack([_nz(E[c][j]) for c in range(6) for j in range(3)], 0)
+    oh3 = obst.onehot.reshape(K, O, M)
+    P = functools.reduce(_acc, (
+        oh3[:, None, o, :] * EDs[None, :, o, :] for o in range(O)
+    ), None)                                                 # (K, 18, M)
+    Qm = functools.reduce(_acc, (
+        oh3[:, None, o, :] * Es[None, :, o, :] for o in range(O)
+    ), None)
+    P2 = P.reshape(K * 6, 3 * M)
+    Q2 = Qm.reshape(K * 6, 3 * M)
+    S = -(P2 @ Q2.T)
+    blf = jnp.stack(b_l, 0).reshape(3 * M)
+    b_S = b_c.reshape(K * 6) - P2 @ blf
 
-    b_S = b_c - jnp.einsum(
-        "mok,moij,mj->ki", onehot, ED, b_l
-    )
+    eyeK = jnp.eye(K, dtype=S.dtype)
+    S = S + jnp.einsum("kij,kl->kilj", H_cc, eyeK).reshape(K * 6, K * 6)
 
     if axis_name is not None:
-        # Landmark axis is sharded: the reduced camera system is the sum of
-        # per-shard contributions (rides ICI as one all-reduce).
         S = jax.lax.psum(S, axis_name)
         b_S = jax.lax.psum(b_S, axis_name)
 
-    # Fix non-optimized cameras: identity rows/cols, zero RHS.
-    fixed = ~prob.opt_mask
-    S = jnp.where(fixed[:, None, None, None], 0.0, S)
-    S = jnp.where(fixed[None, :, None, None], 0.0, S)
-    S = S.at[diag, diag].add(
-        jnp.where(fixed, 1.0, 0.0)[:, None, None] * jnp.eye(6, dtype=S.dtype)
-    )
-    b_S = jnp.where(fixed[:, None], 0.0, b_S)
+    dc = _schur_solve(S, b_S, prob.opt_mask, lam)            # (K, 6)
 
-    # LM damping on the camera diagonal + solve.
-    Sd = S.at[diag, diag].add(
-        lam * jnp.eye(6, dtype=S.dtype)[None]
-        * jnp.maximum(
-            jnp.trace(S[diag, diag], axis1=-2, axis2=-1)[:, None, None] / 6.0, 1e-6
-        )
-    )
-    S_mat = Sd.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
-    dc = -jnp.linalg.solve(S_mat, b_S.reshape(-1)).reshape(K, 6)
-    dc = jnp.where(prob.opt_mask[:, None], dc, 0.0)
-
-    # Back-substitute landmarks: dl = -D^-1 (b_l + sum_o E^T dc_k)
-    dc_per_obs = jnp.einsum("mok,ki->moi", onehot, dc)             # (M, O, 6)
-    Et_dc = jnp.einsum("moij,moi->mj", E_blk, dc_per_obs)          # (M, 3)
-    dl = -jnp.einsum("mij,mj->mi", D_inv, b_l + Et_dc)
+    # Back-substitute landmarks: dl = -D^-1 (b_l + sum_o E^T dc_k).
+    dc_obs = jnp.einsum("ck,kn->cn", dc.T, obst.onehot).reshape(6, O, M)
+    Et_dc = [
+        functools.reduce(_acc, (
+            _mul(E[c][j], dc_obs[c]) for c in range(6)
+        ), None)
+        for j in range(3)
+    ]
+    Et_dc = [jnp.zeros(M, w.dtype) if t is None else t.sum(axis=0)
+             for t in Et_dc]
+    rhs = [b_l[j] + Et_dc[j] for j in range(3)]
+    dl = jnp.stack(
+        [
+            -(Dinv[i][0] * rhs[0] + Dinv[i][1] * rhs[1] + Dinv[i][2] * rhs[2])
+            for i in range(3)
+        ],
+        axis=-1,
+    )                                                        # (M, 3)
     dl = jnp.where(prob.point_valid[:, None], dl, 0.0)
     return dc, dl
 
@@ -246,29 +387,22 @@ def optimize_ba_impl(
     """Unjitted BA body; `axis_name` enables the sharded (shard_map) path
     where the landmark axis is split across devices and the reduced camera
     system is psum-reduced (see parallel/sharded_ba.py)."""
+    obst = _transpose_obs(prob)  # loop-invariant, built once per solve
     valid0 = prob.obs_valid & (prob.obs_kf >= 0) & prob.point_valid[:, None]
 
-    def cost_of(poses, points, valid_obs, use_huber):
-        r, _, _, z, is_st = _project_residuals(cam, poses, points, prob)
-        _, chi2, cost = _robust_weights(
-            r, prob.obs_sigma2, is_st, valid_obs, z, use_huber
-        )
-        if axis_name is not None:
-            cost = jax.lax.psum(cost, axis_name)
-        return cost, chi2
-
-    def lm_phase(poses, points, valid_obs, use_huber, n, matmul_precision):
+    def lm_phase(poses, points, valid_t, use_huber, n, matmul_precision):
         def body(_, carry):
             poses, points, lam, prev_cost = carry
             with jax.default_matmul_precision(matmul_precision):
                 dc, dl = _build_and_solve(
-                    cam, poses, points, prob, valid_obs, use_huber, lam,
+                    cam, poses, points, prob, obst, valid_t, use_huber, lam,
                     axis_name=axis_name,
                 )
                 if fix_points:
                     dl = jnp.zeros_like(dl)
                 poses_n, points_n = _apply(poses, points, dc, dl)
-                cost_n, _ = cost_of(poses_n, points_n, valid_obs, use_huber)
+                cost_n, _ = _cost_t(cam, poses_n, points_n, obst, valid_t,
+                                    use_huber, axis_name)
             accept = cost_n < prev_cost
             poses = jnp.where(accept, poses_n, poses)
             points = jnp.where(accept, points_n, points)
@@ -276,45 +410,47 @@ def optimize_ba_impl(
             cost = jnp.where(accept, cost_n, prev_cost)
             return poses, points, lam, cost
 
-        cost0, _ = cost_of(poses, points, valid_obs, use_huber)
+        cost0, _ = _cost_t(cam, poses, points, obst, valid_t, use_huber,
+                           axis_name)
         poses, points, _, cost = jax.lax.fori_loop(
             0, n, body, (poses, points, 1e-4, cost0)
         )
         return poses, points, cost
 
-    def lm_mixed(poses, points, valid_obs, use_huber, n):
+    def lm_mixed(poses, points, valid_t, use_huber, n):
         """Mixed-precision LM: bulk iterations with fast single-pass bf16
         matmuls, then TAIL_F32 polishing iterations at true float32.
 
-        bf16 rounding leaves LM ~3% above the f32 optimum (measured on the
-        64-camera bench window: same trajectory, final cost 13610 vs 13230)
-        but runs 1.65x faster per iteration; re-linearizing the last few
-        iterations at f32 recovers the full-precision optimum because LM is
-        self-correcting — each step is computed from a fresh f32 residual.
+        bf16 rounding leaves LM ~3% above the f32 optimum but runs faster
+        per iteration; re-linearizing the last few iterations at f32
+        recovers the full-precision optimum because LM is self-correcting —
+        each step is computed from a fresh f32 residual. (The pose gather
+        inside _project_t is pinned to HIGHEST and unaffected.)
         """
         TAIL_F32 = 3
         n_bulk = max(n - TAIL_F32, 0)
         if n_bulk:
             poses, points, _ = lm_phase(
-                poses, points, valid_obs, use_huber, n_bulk, "default"
+                poses, points, valid_t, use_huber, n_bulk, "default"
             )
         return lm_phase(
-            poses, points, valid_obs, use_huber, n - n_bulk, "float32"
+            poses, points, valid_t, use_huber, n - n_bulk, "float32"
         )
 
     poses, points = prob.poses, prob.points
-    poses, points, cost = lm_mixed(poses, points, valid0, True, iters)
+    poses, points, cost = lm_mixed(poses, points, valid0.T, True, iters)
 
-    valid_obs = valid0
+    valid_t = valid0.T
     for _ in range(outlier_rounds):
-        _, chi2 = cost_of(poses, points, valid_obs, False)
-        th = jnp.where(prob.obs_uvr[..., 2] >= 0, CHI2_STEREO, CHI2_MONO)
-        valid_obs = valid0 & (chi2 <= th)
+        _, chi2 = _cost_t(cam, poses, points, obst, valid_t, False)
+        th = jnp.where(obst.is_stereo, CHI2_STEREO, CHI2_MONO)
+        valid_t = valid0.T & (chi2 <= th)
         poses, points, cost = lm_mixed(
-            poses, points, valid_obs, False, max(iters // 2, 1)
+            poses, points, valid_t, False, max(iters // 2, 1)
         )
 
-    _, chi2 = cost_of(poses, points, valid_obs, False)
-    th = jnp.where(prob.obs_uvr[..., 2] >= 0, CHI2_STEREO, CHI2_MONO)
-    inlier = valid0 & (chi2 <= th)
+    _, chi2 = _cost_t(cam, poses, points, obst, valid_t, False)
+    th = jnp.where(obst.is_stereo, CHI2_STEREO, CHI2_MONO)
+    inlier = valid0 & (chi2 <= th).T
     return BAResult(poses=poses, points=points, obs_inlier=inlier, cost=cost)
+

@@ -41,6 +41,32 @@ def pytest_sessionstart(session):
     )
 
 
+# Per-test watchdog: a single wedged test (e.g. a socket wait under heavy
+# CPU starvation) must fail loudly instead of hanging the whole suite until
+# the CI-level kill. SIGALRM fires on the main thread, so even a blocking
+# recv()/join() in test code is interrupted. 600 s is ~10x the slowest
+# legitimate test on a 4-core box.
+_TEST_TIMEOUT_S = int(os.environ.get("SLAM_TEST_TIMEOUT_S", "600"))
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_call(item):
+    import signal
+
+    def _alarm(signum, frame):
+        raise TimeoutError(
+            f"{item.nodeid} exceeded {_TEST_TIMEOUT_S}s (watchdog)"
+        )
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(_TEST_TIMEOUT_S)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -28,7 +28,7 @@ def test_rgbd_stream_roundtrip():
     node = SlamStreamServer(slam, port=0)
     node.start()
     try:
-        client = SlamStreamClient(*node.address)
+        client = SlamStreamClient(*node.address, timeout=60.0)
         tracked = 0
         for i, (img, depth) in enumerate(frames):
             pose, state = client.track_rgbd(img, depth, i / 30.0)
