@@ -14,7 +14,7 @@ K = np.array([[520.0, 0, W / 2], [0, 520.0, H / 2], [0, 0, 1]], np.float32)
 cfg = SlamConfig(sensor="rgbd",
     camera=CameraConfig(fx=520, fy=520, cx=W/2, cy=H/2, width=W, height=H, bf=52.0, fps=30),
     extractor=ExtractorConfig(n_features=1000, n_levels=8))
-frames, poses = render_sequence(60, K, width=W, height=H, with_depth=True)
+frames, poses = render_sequence(150, K, width=W, height=H, with_depth=True)
 
 stats = defaultdict(list)
 def wrap(cls, name):
@@ -32,8 +32,26 @@ for n in ("update_point_attributes", "update_connections", "add_keyframe",
 if hasattr(MS, "DeviceKFMirror"):
     wrap(MS.DeviceKFMirror, "ensure")
 for n in ("_local_ba_gather", "_local_ba_solve", "_local_ba_write_back",
-          "_fuse_neighbors", "_create_new_points"):
+          "_fuse_neighbors", "_create_new_points",
+          "_create_new_points_gather", "_create_new_points_commit",
+          "_fuse_commit", "_refresh_tracked_points"):
     wrap(LM.LocalMapper, n)
+
+import jax
+import orbslam2_tpu.tracking as T
+for n in ("_create_keyframe_locked", "_spawn_depth_points"):
+    wrap(T.Tracker, n)
+
+def wrap_kernel(mod, name):
+    orig = getattr(mod, name)
+    def f(*a, **kw):
+        t0 = time.perf_counter()
+        r = jax.block_until_ready(orig(*a, **kw))
+        stats["KERNEL." + name].append(time.perf_counter() - t0)
+        return r
+    setattr(mod, name, f)
+wrap_kernel(LM, "_triangulate_neighbors_mirror")
+wrap_kernel(LM, "_fuse_match_mirror")
 for n in ("process_keyframe",):
     wrap(LC.LoopCloser, n)
 for n in ("add", "compute_bow"):
@@ -42,16 +60,17 @@ for n in ("add", "compute_bow"):
 
 slam = AsyncSlamSystem(cfg)
 slam.warmup()
-for i in range(15):
+for i in range(30):
     img, depth = frames[i % len(frames)]
     slam.track_rgbd(img, depth, i / 30.0)
 for k in stats: stats[k].clear()
+N = 120
 t0 = time.perf_counter()
-for i in range(15, 60):
+for i in range(30, 30 + N):
     img, depth = frames[i]
     slam.track_rgbd(img, depth, i / 30.0)
 dt = time.perf_counter() - t0
-print(f"fps={45/dt:.2f}  ms/frame={dt/45*1000:.1f}")
+print(f"fps={N/dt:.2f}  ms/frame={dt/N*1000:.1f}")
 for k, v in sorted(stats.items(), key=lambda kv: -sum(kv[1])):
     if not v: continue
     a = np.array(v) * 1000

@@ -11,7 +11,7 @@ K = np.array([[520.0, 0, W / 2], [0, 520.0, H / 2], [0, 0, 1]], np.float32)
 cfg = SlamConfig(sensor="rgbd",
     camera=CameraConfig(fx=520, fy=520, cx=W/2, cy=H/2, width=W, height=H, bf=52.0, fps=30),
     extractor=ExtractorConfig(n_features=1000, n_levels=8))
-frames, poses = render_sequence(60, K, width=W, height=H, with_depth=True)
+frames, poses = render_sequence(150, K, width=W, height=H, with_depth=True)
 
 stats = defaultdict(list)
 def wrap(cls, name):
@@ -24,20 +24,28 @@ def wrap(cls, name):
     setattr(cls, name, f)
 
 for n in ("_make_frame", "_gather_local_points", "_unpack_fused", "_dispatch_track",
-          "_commit_pending", "_need_new_keyframe", "_create_keyframe", "_finish_track"):
+          "_dispatch_track_chained", "_commit_pending_one", "_need_new_keyframe",
+          "_create_keyframe", "_finish_track"):
     wrap(T.Tracker, n)
 
+import orbslam2_tpu.local_mapping as LM
+for n in ("_refresh_tracked_points", "_cull_map_points", "_create_new_points",
+          "_fuse_neighbors", "local_bundle_adjustment", "_cull_keyframes"):
+    wrap(LM.LocalMapper, n)
+
 slam = AsyncSlamSystem(cfg)
-for i in range(15):
+slam.warmup()
+for i in range(30):
     img, depth = frames[i % len(frames)]
     slam.track_rgbd(img, depth, i / 30.0)
 for k in stats: stats[k].clear()
 t0 = time.perf_counter()
-for i in range(15, 60):
+N = 120
+for i in range(30, 30 + N):
     img, depth = frames[i]
     slam.track_rgbd(img, depth, i / 30.0)
 dt = time.perf_counter() - t0
-print(f"fps={45/dt:.2f}  ms/frame={dt/45*1000:.1f}")
+print(f"fps={N/dt:.2f}  ms/frame={dt/N*1000:.1f}")
 for k, v in sorted(stats.items(), key=lambda kv: -sum(kv[1])):
     a = np.array(v) * 1000
     print(f"{k:24s} n={len(v):3d} total={a.sum():8.1f}ms mean={a.mean():7.1f} med={np.median(a):7.1f} max={a.max():7.1f}")

@@ -57,7 +57,15 @@ class KeyFrameDatabase:
             extra = m.kf_valid.shape[0] - self.bow_mat.shape[0]
             self.bow_mat = np.pad(self.bow_mat, ((0, extra), (0, 0)))
             self.in_db = np.pad(self.in_db, (0, extra))
-        self.bow_mat[kf] = self.compute_bow(m.kf_desc[kf], m.kf_feat_valid[kf])
+        # _detect_loop computes + caches the query vector BEFORE add (the
+        # reference also adds after detection); keyframe descriptors never
+        # change after insertion and erase() zeroes recycled rows, so a
+        # non-zero cached row is current — skipping the recompute saves a
+        # ~30-45 ms device round trip per keyframe
+        if not self.bow_mat[kf].any():
+            self.bow_mat[kf] = self.compute_bow(
+                m.kf_desc[kf], m.kf_feat_valid[kf]
+            )
         self.in_db[kf] = True
 
     def erase(self, kf: int):

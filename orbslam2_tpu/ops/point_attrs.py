@@ -30,8 +30,8 @@ def point_attributes(
     kf_desc,      # (K, N, 32) u8   device mirror
     kf_octave,    # (K, N) i32      device mirror
     kf_pose,      # (K, 4, 4) f32   uploaded per call (poses mutate)
-    obs_kf,       # (P, O) i32      -1 = empty slot
-    obs_ft,       # (P, O) i32
+    obs_kf,       # (P, O) i16/i32  -1 = empty slot (O compacted per batch)
+    obs_ft,       # (P, O) i16/i32
     mp_pos,       # (P, 3) f32
     mp_ref_kf,    # (P,) i32
     scale_factor, # () f32
@@ -40,6 +40,8 @@ def point_attributes(
     """Returns (desc (P,32) u8, normal (P,3) f32, dmin (P,), dmax (P,),
     ref_kf (P,) i32) for every row; rows with no valid observation return
     zeros and must be masked by the caller."""
+    obs_kf = obs_kf.astype(jnp.int32)   # i16 on the wire (upload size)
+    obs_ft = obs_ft.astype(jnp.int32)
     P, O = obs_kf.shape
     sel = obs_kf >= 0
     kfs = jnp.maximum(obs_kf, 0)
@@ -67,17 +69,20 @@ def point_attributes(
         descs, best[:, None, None].astype(jnp.int32), axis=1
     )[:, 0]
 
-    # --- mean viewing normal
-    R = kf_pose[kfs][..., :3, :3]                           # (P, O, 3, 3)
-    t = kf_pose[kfs][..., :3, 3]
-    centers = -jnp.einsum("pokj,pok->poj", R, t)
-    vec = mp_pos[:, None, :] - centers                      # (P, O, 3)
-    vn = vec / jnp.maximum(
-        jnp.linalg.norm(vec, axis=2, keepdims=True), 1e-9
-    )
-    n = jnp.where(sel[:, :, None], vn, 0.0).sum(1) / jnp.maximum(
-        n_obs[:, None], 1
-    )
+    # --- mean viewing normal. Camera centers are computed ONCE PER
+    # KEYFRAME then gathered per component: a direct kf_pose[kfs] gather
+    # materializes a (P, O, 4, 4) tensor whose trailing (4, 4) tile pads
+    # 128x on TPU (~270 MB at refresh batch sizes).
+    Rk = kf_pose[:, :3, :3]
+    tk = kf_pose[:, :3, 3]
+    centers_k = -jnp.einsum("kji,kj->ki", Rk, tk)           # (K, 3) = -R^T t
+    cg = centers_k.T[:, kfs]                                # (3, P, O)
+    vec = mp_pos.T[:, :, None] - cg                         # (3, P, O)
+    vlen = jnp.sqrt(jnp.maximum(
+        vec[0] * vec[0] + vec[1] * vec[1] + vec[2] * vec[2], 1e-18))
+    selw = jnp.where(sel, 1.0 / vlen, 0.0)                  # (P, O)
+    n = jnp.stack([(vec[i] * selw).sum(1) for i in range(3)], axis=1)
+    n = n / jnp.maximum(n_obs[:, None], 1)
     out_normal = n / jnp.maximum(
         jnp.linalg.norm(n, axis=1, keepdims=True), 1e-9
     )
@@ -88,8 +93,7 @@ def point_attributes(
     has_ref = is_ref.any(1)
     j = jnp.where(has_ref, jnp.argmax(is_ref, axis=1), jnp.argmax(sel, axis=1))
     out_ref = jnp.take_along_axis(obs_kf, j[:, None], axis=1)[:, 0]
-    vref = jnp.take_along_axis(vec, j[:, None, None].repeat(3, 2), axis=1)[:, 0]
-    dist = jnp.linalg.norm(vref, axis=1)
+    dist = jnp.take_along_axis(vlen, j[:, None], axis=1)[:, 0]
     kj = jnp.take_along_axis(kfs, j[:, None], axis=1)[:, 0]
     fj = jnp.take_along_axis(fts, j[:, None], axis=1)[:, 0]
     level = kf_octave[kj, fj].astype(jnp.float32)

@@ -177,18 +177,20 @@ def warmup_system(slam, verbose: bool = False) -> float:
             jax.block_until_ready(r.poses)
         log(f"local BA bucket K={Kw} M={Mw}")
 
-    # 7. point-attribute buckets
-    O = m.mp_obs_kf.shape[1]
+    # 7. point-attribute buckets (obs axis compacted + i16 on the wire;
+    # Ob=8 covers young maps, 16/32 mature ones)
     for Pb in (128, 512, 2048):
-        r = pa.point_attributes(
-            mir["kf_desc"], mir["kf_octave"], jnp.asarray(m.kf_pose),
-            jnp.asarray(np.full((Pb, O), -1, np.int32)),
-            jnp.asarray(np.full((Pb, O), -1, np.int32)),
-            jnp.asarray(np.zeros((Pb, 3), np.float32)),
-            jnp.asarray(np.full(Pb, -1, np.int32)),
-            jnp.float32(cfge.scale_factor), jnp.float32(cfge.n_levels - 1),
-        )
-        jax.block_until_ready(r)
+        for Ob in (8, 16, 32):
+            r = pa.point_attributes(
+                mir["kf_desc"], mir["kf_octave"], jnp.asarray(m.kf_pose),
+                jnp.asarray(np.full((Pb, Ob), -1, np.int16)),
+                jnp.asarray(np.full((Pb, Ob), -1, np.int16)),
+                jnp.asarray(np.zeros((Pb, 3), np.float32)),
+                jnp.asarray(np.full(Pb, -1, np.int32)),
+                jnp.float32(cfge.scale_factor),
+                jnp.float32(cfge.n_levels - 1),
+            )
+            jax.block_until_ready(r)
     log("point attrs")
 
     # 8. BoW (database add + loop detection path)
