@@ -227,6 +227,19 @@ class LocalMapper:
         self._baseline = self._bf / max(float(self._K_np[0, 0]), 1e-8)
         self.recent_points: List[Tuple[int, int]] = []  # (mp, created_at_kf)
         self.obs_cap = 8  # window observation cap for local BA
+        # points whose attributes (distinctive descriptor / normal / depth
+        # band) changed this keyframe round; ONE batched refresh runs at the
+        # end of the round instead of one per phase (each refresh is a full
+        # device round trip — 3 calls/KF at ~30-60 ms each dominated the
+        # mapper's wall time). The reference recomputes eagerly after every
+        # mutation; within one ProcessNewKeyFrame round the intermediate
+        # values are only read by the tracker, which tolerates one-round
+        # staleness the same way it tolerates the async refresh itself.
+        self._attrs_pending: set = set()
+        # set by the system facade to KeyFrameDatabase.precompute_async:
+        # dispatches the keyframe's BoW vector at the START of the mapping
+        # round so the loop-closing stage consumes a completed async copy
+        self.bow_precompute = lambda kf: None
         # InterruptBA analog (†LocalMapping::mbAbortBA): the async pipeline
         # points this at "another keyframe is waiting"; local BA checks it
         # between LM chunks and stops early with the partial solution
@@ -273,6 +286,7 @@ class LocalMapper:
             return run
 
         def _finish():
+            self._flush_attrs_pending()
             self._cull_keyframes(kf)
             self.map.version += 1
 
@@ -284,6 +298,7 @@ class LocalMapper:
         # point creation first and the skipped work is subsumed by the
         # next idle keyframe's neighborhood pass.
         phases = [
+            lambda: self.bow_precompute(kf),
             _locked(self.map.recycle_free_slots),
             _locked(lambda: self._refresh_tracked_points(kf)),
             _locked(lambda: self._cull_map_points(kf)),
@@ -312,8 +327,17 @@ class LocalMapper:
         # only points with >1 observation need the refresh: fresh
         # single-observation spawns were closed-form-initialized at creation
         mps = mps[m.mp_n_obs[mps] > 1]
-        if len(mps):
-            m.update_point_attributes(mps)
+        self._attrs_pending.update(int(x) for x in mps)
+
+    def _flush_attrs_pending(self):
+        """ONE batched attribute refresh for every point this keyframe
+        round touched (new observations from the tracker, triangulated
+        points, fuse merges)."""
+        if not self._attrs_pending:
+            return
+        mps = np.fromiter(self._attrs_pending, dtype=np.int64)
+        self._attrs_pending.clear()
+        self.map.update_point_attributes(mps)
 
     # ------------------------------------------------------------------
     # MapPointCulling (†LocalMapping::MapPointCulling, SURVEY §2.9)
@@ -448,7 +472,12 @@ class LocalMapper:
                 new_mps[rows], int(nb_arr[b]), idx2[rows]
             )
         self.recent_points.extend((int(mp), kf) for mp in new_mps)
-        m.update_point_attributes(new_mps)
+        # closed-form init from the current keyframe's observation (the
+        # full median-Hamming refresh over both observations runs once at
+        # the end of the round via _flush_attrs_pending; with 2 obs the
+        # median picks either descriptor, so the init is near-equivalent)
+        m.init_point_attributes(new_mps, kf, feat_ids)
+        self._attrs_pending.update(int(mp) for mp in new_mps)
         m.update_connections(kf)
 
     def _median_depth(self, kf: int) -> float:
@@ -552,7 +581,7 @@ class LocalMapper:
                     m.add_observation(mp, dst, feat)
                     touched.add(mp)
         if touched:
-            m.update_point_attributes(np.fromiter(touched, dtype=np.int64))
+            self._attrs_pending.update(touched)
             m.update_connections(kf)
             for nb in neighbors:
                 m.update_connections(nb)

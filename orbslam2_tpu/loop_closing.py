@@ -79,10 +79,7 @@ class LoopCloser:
         if len(covis) == 0:
             return None
         # minScore: lowest similarity to own covisibles
-        own_bow = self.kfdb.bow_mat[kf]
-        if not self.kfdb.in_db[kf]:
-            own_bow = self.kfdb.compute_bow(m.kf_desc[kf], m.kf_feat_valid[kf])
-            self.kfdb.bow_mat[kf] = own_bow
+        own_bow = self.kfdb.row(kf)
         # L1 similarity vs each covisible, vectorized on host: these are
         # host-resident (W,) vectors — a device round trip per covisible
         # would cost ~30 ms RTT each on relay-attached rigs

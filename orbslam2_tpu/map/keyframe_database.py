@@ -38,18 +38,48 @@ class KeyFrameDatabase:
         # compute_bow call cost ~0.5 MB of H2D per keyframe on relay rigs
         self._vocab_dev = None
         self._idf_dev = None
+        # in-flight BoW vectors by keyframe slot (see precompute_async)
+        self._pending: dict = {}
 
     # ------------------------------------------------------------------
-    def compute_bow(self, desc, valid) -> np.ndarray:
+    def _bow_dispatch(self, desc, valid):
         if self._vocab_dev is None:
             self._vocab_dev = jnp.asarray(self.vocab)
             self._idf_dev = (
                 jnp.asarray(self.idf) if self.idf is not None else None
             )
-        return np.asarray(
-            bow.bow_vector(jnp.asarray(desc), jnp.asarray(valid),
-                           self._vocab_dev, self._idf_dev)
-        )
+        return bow.bow_vector(jnp.asarray(desc), jnp.asarray(valid),
+                              self._vocab_dev, self._idf_dev)
+
+    def compute_bow(self, desc, valid) -> np.ndarray:
+        return np.asarray(self._bow_dispatch(desc, valid))
+
+    def precompute_async(self, kf: int):
+        """Dispatch the BoW kernel for keyframe `kf` and keep the in-flight
+        device result; row(kf)/add(kf) consume it later. By then the async
+        D2H has long completed, so the consume is ~free — a synchronous pull
+        of a fresh result costs a full link RTT (~25 ms) on relay rigs.
+        Keyframe descriptors never change after insertion, so the vector
+        cannot go stale; erase() drops any pending future for a recycled
+        slot before the slot is reused."""
+        m = self.map
+        fut = self._bow_dispatch(m.kf_desc[kf], m.kf_feat_valid[kf])
+        if hasattr(fut, "copy_to_host_async"):
+            fut.copy_to_host_async()
+        self._pending[kf] = fut
+
+    def row(self, kf: int) -> np.ndarray:
+        """The BoW vector for keyframe `kf`: cached row, pending async
+        result, or a fresh (blocking) compute — in that order."""
+        if kf < self.bow_mat.shape[0] and self.bow_mat[kf].any():
+            return self.bow_mat[kf]
+        fut = self._pending.pop(kf, None)
+        m = self.map
+        vec = (np.asarray(fut) if fut is not None
+               else self.compute_bow(m.kf_desc[kf], m.kf_feat_valid[kf]))
+        if kf < self.bow_mat.shape[0]:
+            self.bow_mat[kf] = vec
+        return vec
 
     def add(self, kf: int):
         m = self.map
@@ -57,20 +87,13 @@ class KeyFrameDatabase:
             extra = m.kf_valid.shape[0] - self.bow_mat.shape[0]
             self.bow_mat = np.pad(self.bow_mat, ((0, extra), (0, 0)))
             self.in_db = np.pad(self.in_db, (0, extra))
-        # _detect_loop computes + caches the query vector BEFORE add (the
-        # reference also adds after detection); keyframe descriptors never
-        # change after insertion and erase() zeroes recycled rows, so a
-        # non-zero cached row is current — skipping the recompute saves a
-        # ~30-45 ms device round trip per keyframe
-        if not self.bow_mat[kf].any():
-            self.bow_mat[kf] = self.compute_bow(
-                m.kf_desc[kf], m.kf_feat_valid[kf]
-            )
+        self.row(kf)  # cached / pending-async / fresh, in that order
         self.in_db[kf] = True
 
     def erase(self, kf: int):
         self.in_db[kf] = False
         self.bow_mat[kf] = 0.0
+        self._pending.pop(kf, None)
 
     # ------------------------------------------------------------------
     def _candidate_scores(self, query_bow: np.ndarray, exclude: np.ndarray):

@@ -33,6 +33,8 @@ class SlamSystem:
         self.local_mapper = LocalMapper(cfg, self.map, self.tracker.cam)
         self.loop_closer = LoopCloser(cfg, self.map, self.tracker.cam, self.kfdb) \
             if enable_loop_closing else None
+        if self.loop_closer is not None:  # else nothing consumes the futures
+            self.local_mapper.bow_precompute = self.kfdb.precompute_async
         self.localization_only = False
         self._finished = False
         if metrics_path:
@@ -122,6 +124,8 @@ class SlamSystem:
         self.loop_closer = LoopCloser(
             self.cfg, self.map, self.tracker.cam, self.kfdb
         ) if enable_lc else None
+        if self.loop_closer is not None:
+            self.local_mapper.bow_precompute = self.kfdb.precompute_async
 
     def shutdown(self):
         self._finished = True

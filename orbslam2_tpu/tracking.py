@@ -518,6 +518,17 @@ class Tracker:
         self._pending: "collections.deque" = collections.deque()
         self._chain: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
         self._fallback_used = False  # set when _finish_track took the BoW path
+        # device-resident scalar constants for the per-frame dispatch:
+        # jnp.float32(x) at call time is a fresh H2D upload per frame; on
+        # relay-attached rigs every operation costs link processing, so the
+        # constants are uploaded once here
+        self._dev_scalars = dict(
+            th_depth=jnp.float32(cfg.camera.th_depth * self._baseline),
+            radius=jnp.float32(cfg.tracking.motion_model_radius),
+            scale_factor=jnp.float32(cfg.extractor.scale_factor),
+            true_=jnp.asarray(True),
+            false_=jnp.asarray(False),
+        )
 
     # ------------------------------------------------------------------
     def _make_frame(self, img: np.ndarray, timestamp: float,
@@ -1030,6 +1041,7 @@ class Tracker:
         )
         if hasattr(packed, "copy_to_host_async"):
             packed.copy_to_host_async()
+        frame.prefetch_host()  # overlap feature D2H with the result pull
         return sel, packed
 
     def _dispatch_track_chained(self, frame: FrameData):
@@ -1046,9 +1058,10 @@ class Tracker:
         if self.localization_only:
             sel, buf = self._augment_vo_points(sel, buf)
 
+        ds = self._dev_scalars
         if self._chain is not None:
             Tcw_prev, Tcw_prev2 = self._chain
-            have_motion = True
+            have_motion = ds["true_"]
         else:
             last = (
                 self.last_frame.Tcw
@@ -1061,28 +1074,31 @@ class Tracker:
                 Tcw_prev2 = jnp.asarray(
                     (np.linalg.inv(self.velocity) @ last).astype(np.float32)
                 )
-                have_motion = True
+                have_motion = ds["true_"]
             else:
                 Tcw_prev2 = Tcw_prev
-                have_motion = False
+                have_motion = ds["false_"]
 
         cfge = self.cfg.extractor
-        th_depth = self.cfg.camera.th_depth * float(self._baseline)
         packed, Tcw_out = track_frame_fused_chained(
-            self.cam, Tcw_prev, Tcw_prev2, jnp.asarray(have_motion),
+            self.cam, Tcw_prev, Tcw_prev2, have_motion,
             buf["pos"], buf["desc"], buf["valid"], buf["normal"],
             buf["dmin"], buf["dmax"],
             frame.dev["xy"], frame.dev["desc"], frame.dev["octave"],
             frame.dev["valid"], frame.dev["ur"], frame.dev["depth"],
-            jnp.float32(th_depth),
-            jnp.float32(self.cfg.tracking.motion_model_radius),
-            jnp.float32(cfge.scale_factor),
+            ds["th_depth"], ds["radius"], ds["scale_factor"],
             cfge.n_levels, self.cfg.tracking.min_inliers_track,
         )
         if hasattr(packed, "copy_to_host_async"):
             packed.copy_to_host_async()
+        # start the feature D2H copies now: if this frame becomes a
+        # keyframe (or an excursion needs host views) the pulls find a
+        # completed copy instead of paying a fresh ~25 ms link RTT; the
+        # ~60 KB/frame is noise against the link's ~700 MB/s bandwidth
+        frame.prefetch_host()
         self._chain = (Tcw_out, Tcw_prev)
         return sel, packed
+
 
     def _track_frame(self, frame: FrameData) -> bool:
         sel, packed = self._dispatch_track(frame)
