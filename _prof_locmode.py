@@ -20,7 +20,7 @@ for i in range(60):
     slam.track_rgbd(img, dep, i / 30.0)
 import time as _t
 _t.sleep(1.0)  # drain mapper queue
-slam.tracker._need_new_keyframe = lambda *a, **k: False  # mute mapper, keep exact tracking path
+slam.activate_localization_mode()
 N = 80
 t0 = time.perf_counter()
 for i in range(60, 60 + N):

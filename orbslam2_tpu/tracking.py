@@ -942,15 +942,37 @@ class Tracker:
         center = Twc[:3, 3]
         dist = np.linalg.norm(pw - center, axis=1)
         normal = (pw - center) / np.maximum(dist, 1e-9)[:, None]
-        rows = np.arange(n_used, n_used + len(spawn))
-        idx = jnp.asarray(rows)
+        # pad the splice to a power-of-two bucket: a raw len(spawn)-shaped
+        # scatter retraces SIX fresh programs for every distinct count —
+        # localization mode then compiles per FRAME (~0.5-1 s each on relay
+        # rigs, observed as a multi-second-per-frame stall). Pad rows write
+        # valid=False into the (already invalid) free tail, a semantic no-op.
+        S = len(spawn)
+        B = 128
+        while B < S:
+            B *= 2
+        B = min(B, free)
+        S = min(S, B)
+        rows = np.arange(n_used, n_used + S)
+        rows_p = np.arange(n_used, n_used + B)
+        pw_p = np.zeros((B, 3), np.float32)
+        pw_p[:S] = pw[:S]
+        desc_p = np.zeros((B, 32), np.uint8)
+        desc_p[:S] = lf.desc[spawn[:S]]
+        nrm_p = np.zeros((B, 3), np.float32)
+        nrm_p[:S] = normal[:S]
+        dist_p = np.ones(B, np.float32)
+        dist_p[:S] = dist[:S]
+        ok_p = np.zeros(B, bool)
+        ok_p[:S] = True
+        idx = jnp.asarray(rows_p)
         buf = dict(
-            pos=buf["pos"].at[idx].set(jnp.asarray(pw)),
-            desc=buf["desc"].at[idx].set(jnp.asarray(lf.desc[spawn])),
-            valid=buf["valid"].at[idx].set(True),
-            normal=buf["normal"].at[idx].set(jnp.asarray(normal)),
-            dmin=buf["dmin"].at[idx].set(jnp.asarray(dist / 2.0)),
-            dmax=buf["dmax"].at[idx].set(jnp.asarray(dist * 2.0)),
+            pos=buf["pos"].at[idx].set(jnp.asarray(pw_p)),
+            desc=buf["desc"].at[idx].set(jnp.asarray(desc_p)),
+            valid=buf["valid"].at[idx].set(jnp.asarray(ok_p)),
+            normal=buf["normal"].at[idx].set(jnp.asarray(nrm_p)),
+            dmin=buf["dmin"].at[idx].set(jnp.asarray(dist_p / 2.0)),
+            dmax=buf["dmax"].at[idx].set(jnp.asarray(dist_p * 2.0)),
         )
         sel = sel.copy()
         sel[rows] = -1
