@@ -156,6 +156,14 @@ class RuntimeConfig:
     # before the host ever blocks (device-chained prediction makes the extra
     # depth free of data dependencies).
     pipeline_depth: int = 2
+    # Elastic upper bound for the pipelined-tracking queue: past
+    # pipeline_depth a frame is committed only when its packed D2H copy is
+    # already complete (jax.Array.is_ready probe); past pipeline_depth_max
+    # the commit blocks. On a slow shared link (relay weather) the queue
+    # stretches instead of stalling dispatch on every pull; on a
+    # direct-attached chip results are ready by depth 2 and the bound is
+    # never approached. Pose-return latency is bounded by this many frames.
+    pipeline_depth_max: int = 10
     # local BA window capacities (gathered compact buffers, SURVEY §7.3.1)
     local_ba_max_kfs: int = 32
     local_ba_max_fixed_kfs: int = 32

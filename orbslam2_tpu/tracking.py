@@ -710,7 +710,20 @@ class Tracker:
         self._pending.append((frame, sel, packed, t_start))
         prev_pose = None
         depth = max(int(self.cfg.runtime.pipeline_depth), 1)
+        depth_max = max(int(self.cfg.runtime.pipeline_depth_max), depth)
+        # elastic commit: beyond the minimum depth, retire a frame only if
+        # its packed result is ALREADY on the host (is_ready is a ~20 us
+        # non-blocking probe). When the link is slow (shared relay in bad
+        # weather the async D2H can land hundreds of ms after issue) the
+        # queue stretches toward depth_max instead of stalling the
+        # dispatch thread on every pull; depth_max bounds pose latency and
+        # forces a blocking commit so the queue cannot grow without bound.
+        while len(self._pending) > depth_max:
+            prev_pose = self._commit_pending_one()
         while len(self._pending) > depth:
+            head = self._pending[0][2]
+            if hasattr(head, "is_ready") and not head.is_ready():
+                break
             prev_pose = self._commit_pending_one()
         return prev_pose
 
