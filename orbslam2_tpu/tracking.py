@@ -516,6 +516,7 @@ class Tracker:
         # runtime.pipeline_depth entries) + the device-resident pose chain
         # (Tcw_prev, Tcw_prev2) feeding track_frame_fused_chained
         self._pending: "collections.deque" = collections.deque()
+        self._neg_ones: Optional[jnp.ndarray] = None  # shared -1 fill
         self._chain: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
         self._fallback_used = False  # set when _finish_track took the BoW path
         # device-resident scalar constants for the per-frame dispatch:
@@ -539,11 +540,15 @@ class Tracker:
         if self._has_distortion:
             xy_dev = undistort_points(self.cam, feats.xy)
         n = feats.xy.shape[0]
+        if self._neg_ones is None or self._neg_ones.shape[0] != n:
+            # constant fill shared across frames (jax arrays are immutable;
+            # two fewer per-frame device allocations)
+            self._neg_ones = jnp.full((n,), -1.0, jnp.float32)
         dev = dict(
             xy=xy_dev, desc=feats.desc, octave=feats.octave,
             angle=feats.angle, valid=feats.valid,
-            ur=jnp.full((n,), -1.0, jnp.float32),
-            depth=jnp.full((n,), -1.0, jnp.float32),
+            ur=self._neg_ones,
+            depth=self._neg_ones,
         )
         if right_img is not None:
             # stereo: extract right features and match along epipolar rows
@@ -571,9 +576,11 @@ class Tracker:
             d = np.asarray(depth_map, np.float32)
             scale = np.float32(1e3)
             stride = max(int(self.cfg.runtime.depth_upload_stride), 1)
+            if stride > 1:  # subsample FIRST: stride^2 x less host math
+                d = d[::stride, ::stride]
             d_u16 = np.where(
                 (d > 0) & (d * scale < 65535.0), d * scale, 0.0
-            ).astype(np.uint16)[::stride, ::stride]
+            ).astype(np.uint16)
             dev["ur"], dev["depth"] = _rgbd_virtual_right_u16(
                 jnp.asarray(d_u16), jnp.float32(1.0 / scale), feats.xy,
                 xy_dev, feats.valid, self.cam.bf, stride=stride,
