@@ -6,7 +6,8 @@ PY ?= python
 
 .PHONY: test bench native eval-dry eval-tum eval-kitti eval-euroc eval-all
 
-test:
+# native builds first so the native-IO tests run instead of skipping
+test: native
 	$(PY) -m pytest tests/ -x -q
 
 native:

@@ -157,12 +157,19 @@ class RuntimeConfig:
     # depth free of data dependencies).
     pipeline_depth: int = 2
     # Elastic upper bound for the pipelined-tracking queue: past
-    # pipeline_depth a frame is committed only when its packed D2H copy is
-    # already complete (jax.Array.is_ready probe); past pipeline_depth_max
-    # the commit blocks. On a slow shared link (relay weather) the queue
+    # pipeline_depth a frame is committed only when its packed result's
+    # device computation is complete (jax.Array.is_ready probe — the async
+    # D2H copy normally lands shortly after, so the commit's blocking pull
+    # is cheap, though not guaranteed free); past pipeline_depth_max the
+    # commit blocks. On a slow shared link (relay weather) the queue
     # stretches instead of stalling dispatch on every pull; on a
     # direct-attached chip results are ready by depth 2 and the bound is
-    # never approached. Pose-return latency is bounded by this many frames.
+    # never approached. Callers still receive the freshest committed pose
+    # every call (lag <= this many frames, reported via tracker.pose_lag).
+    # Accuracy trade-off while stretched: keyframe insertion and LOST
+    # detection lag commits, so frames track against a local map up to this
+    # many frames stale; under fast motion on a slow link, lowering this
+    # bound trades throughput for robustness.
     pipeline_depth_max: int = 10
     # local BA window capacities (gathered compact buffers, SURVEY §7.3.1)
     local_ba_max_kfs: int = 32

@@ -136,13 +136,16 @@ class AsyncSlamSystem(AsyncMappingMixin, SlamSystem):
     """SlamSystem with mapping + loop closing + GBA off the tracking thread.
 
     By default tracking is software-pipelined (`pipelined_tracking=True`):
-    each call dispatches the current frame's device work and commits the
-    PREVIOUS frame's result, so the blocking device->host pull of the packed
-    tracking result fully overlaps the next frame's uploads. The returned
-    pose is therefore the previous frame's (one-frame latency); per-frame
-    (frame_id, timestamp, pose) association is exact in
-    `tracker.trajectory` / `save_trajectory_tum`. Pass
-    pipelined_tracking=False for synchronous same-frame returns.
+    each call dispatches the current frame's device work and retires the
+    oldest in-flight frame(s), so the blocking device->host pull of the
+    packed tracking result fully overlaps later frames' uploads. The
+    returned pose is the freshest COMMITTED one — it lags the submitted
+    frame by between `runtime.pipeline_depth` and
+    `runtime.pipeline_depth_max` frames (exact lag of each return in
+    `tracker.pose_lag`); after initialization a pose is returned for every
+    frame unless tracking is lost. Per-frame (frame_id, timestamp, pose)
+    association is exact in `tracker.trajectory` / `save_trajectory_tum`.
+    Pass pipelined_tracking=False for synchronous same-frame returns.
     """
 
     def __init__(self, *args, pipelined_tracking: bool = True, **kwargs):

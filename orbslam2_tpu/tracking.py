@@ -519,6 +519,10 @@ class Tracker:
         self._neg_ones: Optional[jnp.ndarray] = None  # shared -1 fill
         self._chain: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
         self._fallback_used = False  # set when _finish_track took the BoW path
+        # live-pose contract bookkeeping: frames the pose returned by the
+        # last track_pipelined call lagged behind its dispatched frame
+        # (0 = same frame, i.e. the synchronous path)
+        self.pose_lag = 0
         # device-resident scalar constants for the per-frame dispatch:
         # jnp.float32(x) at call time is a fresh H2D upload per frame; on
         # relay-attached rigs every operation costs link processing, so the
@@ -685,8 +689,14 @@ class Tracker:
                         right_img: Optional[np.ndarray] = None,
                         ) -> Optional[np.ndarray]:
         """Software-pipelined variant of track(): dispatch this frame's
-        device work, commit the PREVIOUS frame's result, return the previous
-        frame's pose (one-frame latency).
+        device work, retire the oldest in-flight frame(s), and return the
+        FRESHEST COMMITTED POSE. The returned pose lags the dispatched frame
+        by between ``runtime.pipeline_depth`` and
+        ``runtime.pipeline_depth_max`` frames (``self.pose_lag`` records the
+        exact lag of the value just returned); it is ``None`` only before
+        initialization or across a tracking loss. Per-frame
+        (frame_id, timestamp, pose) association is exact in
+        ``self.trajectory`` once frames commit.
 
         On hosts where the device link has significant round-trip latency
         (relay-attached TPU: ~30 ms/RTT) the synchronous track() pays one
@@ -707,6 +717,7 @@ class Tracker:
                           TrackingState.LOST):
             # control-flow states need this frame's result now
             self.flush_pipeline()
+            self.pose_lag = 0
             return self._track_core(frame, t_start)
         # dispatch FIRST (device-chained prediction breaks the data
         # dependency on the previous frame's committed pose), THEN retire
@@ -715,24 +726,40 @@ class Tracker:
         # blocking D2H pull is a cache read, not a wait
         sel, packed = self._dispatch_track_chained(frame)
         self._pending.append((frame, sel, packed, t_start))
-        prev_pose = None
         depth = max(int(self.cfg.runtime.pipeline_depth), 1)
         depth_max = max(int(self.cfg.runtime.pipeline_depth_max), depth)
         # elastic commit: beyond the minimum depth, retire a frame only if
-        # its packed result is ALREADY on the host (is_ready is a ~20 us
-        # non-blocking probe). When the link is slow (shared relay in bad
-        # weather the async D2H can land hundreds of ms after issue) the
-        # queue stretches toward depth_max instead of stalling the
-        # dispatch thread on every pull; depth_max bounds pose latency and
-        # forces a blocking commit so the queue cannot grow without bound.
+        # its packed result is likely already on the host (is_ready is a
+        # ~20 us non-blocking probe of device-side COMPUTATION completion —
+        # the async D2H copy issued at dispatch usually lands shortly after,
+        # so a ready probe makes the blocking pull cheap, not guaranteed
+        # free). When the link is slow (shared relay in bad weather the
+        # async D2H can land hundreds of ms after issue) the queue
+        # stretches toward depth_max instead of stalling the dispatch
+        # thread on every pull; depth_max bounds commit latency and forces
+        # a blocking commit so the queue cannot grow without bound. The
+        # trade-off while stretched: keyframe insertion and LOST detection
+        # lag up to depth_max frames behind dispatch (the fused cascade
+        # still tracks each frame against the device-resident local map;
+        # only the HOST decisions lag), and the broken-chain fallback in
+        # _commit_pending_one re-tracks in-flight frames if a stretched
+        # commit turns out rejected.
         while len(self._pending) > depth_max:
-            prev_pose = self._commit_pending_one()
+            self._commit_pending_one()
         while len(self._pending) > depth:
             head = self._pending[0][2]
             if hasattr(head, "is_ready") and not head.is_ready():
                 break
-            prev_pose = self._commit_pending_one()
-        return prev_pose
+            self._commit_pending_one()
+        # live-pose contract (stream node / AR clients): whether or not a
+        # frame retired this call, return the freshest committed estimate
+        # rather than None — a live caller gets a pose for every frame
+        # after initialization, tagged with its lag.
+        if self.last_frame is not None and self.last_frame.Tcw is not None:
+            self.pose_lag = frame.frame_id - self.last_frame.frame_id
+            return self.last_frame.Tcw
+        self.pose_lag = 0
+        return None
 
     def _commit_pending_one(self) -> Optional[np.ndarray]:
         if not self._pending:

@@ -23,6 +23,9 @@ Response:
 
     u8    status  0=no pose (initializing/lost)  1=tracked
     u8    state   TrackingState value
+    u16   lag     frames the returned pose lags the submitted frame
+                  (0 = same frame; with pipelined tracking the freshest
+                  committed pose is returned, lag <= pipeline_depth_max)
     16xf32 Tcw row-major (zeros when status=0)
 
 The node runs tracking on the receiving thread (frames must be processed in
@@ -83,11 +86,12 @@ class _FrameHandler(socketserver.BaseRequestHandler):
                 ).reshape(h, w)
             pose = srv._track(kind, img, ts, depth, right)
             state = srv.slam.tracking_state.value
+            lag = int(getattr(srv.slam.tracker, "pose_lag", 0))
             if pose is None:
-                sock.sendall(struct.pack("<BB", 0, state) + b"\x00" * 64)
+                sock.sendall(struct.pack("<BBH", 0, state, 0) + b"\x00" * 64)
             else:
                 sock.sendall(
-                    struct.pack("<BB", 1, state)
+                    struct.pack("<BBH", 1, state, lag)
                     + np.asarray(pose, np.float32).tobytes()
                 )
 
@@ -143,6 +147,8 @@ class SlamStreamClient:
     def __init__(self, host: str, port: int, timeout: float = 120.0):
         self.sock = socket.create_connection((host, port), timeout=timeout)
         self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        # frames the last returned pose lagged its frame (see module doc)
+        self.last_lag = 0
 
     def _roundtrip(self, kind: int, img: np.ndarray, ts: float,
                    extra: bytes) -> Tuple[Optional[np.ndarray], int]:
@@ -151,10 +157,10 @@ class SlamStreamClient:
             _HDR.pack(MAGIC, kind, ts, h, w)
             + np.ascontiguousarray(img, np.uint8).tobytes() + extra
         )
-        resp = _recv_exact(self.sock, 2 + 64)
-        status, state = struct.unpack("<BB", resp[:2])
+        resp = _recv_exact(self.sock, 4 + 64)
+        status, state, self.last_lag = struct.unpack("<BBH", resp[:4])
         pose = (
-            np.frombuffer(resp[2:], np.float32).reshape(4, 4).copy()
+            np.frombuffer(resp[4:], np.float32).reshape(4, 4).copy()
             if status else None
         )
         return pose, state

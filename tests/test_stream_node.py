@@ -35,11 +35,15 @@ def test_rgbd_stream_roundtrip():
             if pose is not None:
                 assert pose.shape == (4, 4)
                 assert np.isfinite(pose).all()
+                # live-pose contract: the returned pose lags the submitted
+                # frame by at most the elastic pipeline bound
+                assert client.last_lag <= 10, client.last_lag
                 tracked += 1
         client.close()
-        # pipelined tracking returns one frame late; everything after
-        # initialization should come back tracked
-        assert tracked >= len(frames) - 3, tracked
+        # live-pose contract: every frame after initialization gets a pose
+        # (the freshest committed one), even while the elastic pipelined
+        # queue is stretched
+        assert tracked >= len(frames) - 1, tracked
     finally:
         node.stop()
         slam.shutdown()
