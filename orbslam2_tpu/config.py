@@ -99,8 +99,11 @@ class TrackingConfig:
     # Padded device capacity of the tracked local-point buffer (TPU-native;
     # the reference's local map is unbounded). Overflow drops the weakest-
     # covisibility points with a log line; the packed per-frame D2H is
-    # 20+cap floats (one code per point).
-    local_map_point_cap: int = 8192
+    # 20+cap floats (one code per point). 12288 clears the 640x480 bench
+    # scene's steady state (peaked ~8700 at the old 8192 cap, which dropped
+    # 331-550 points per frame) with headroom; +4096 points is +16 KB of
+    # per-frame D2H.
+    local_map_point_cap: int = 12288
 
 
 @dataclass

@@ -47,6 +47,20 @@ class LoopCloser:
         self.gba_abort = threading.Event()
         self.background_gba = False  # AsyncSlamSystem turns this on
 
+    @staticmethod
+    def _point_bucket(n: int, lo: int = 2048, hi: int = 65536) -> int:
+        """Power-of-two padded capacity for a point set of size n: bounds
+        the jit-signature count to log2 buckets while sizing the kernels
+        from the map instead of a fixed cap. Logs when the ceiling drops
+        points (no-silent-caps rule)."""
+        cap = lo
+        while cap < n and cap < hi:
+            cap *= 2
+        if n > cap:
+            print(f"[loop] point bucket ceiling: {n - cap} of {n} points "
+                  f"dropped (cap {cap})")
+        return cap
+
     # ------------------------------------------------------------------
     def process_keyframe(self, kf: int, run_global_ba: bool = True) -> bool:
         """Returns True if a loop was detected and corrected."""
@@ -265,9 +279,13 @@ class LoopCloser:
         group = [loop_kf] + [int(x) for x in m.covisible_keyframes(loop_kf)]
         mps = np.unique(m.kf_mp[group])
         mps = mps[mps >= 0]
-        mps = mps[m.mp_valid[mps]][:2048]
+        mps = mps[m.mp_valid[mps]]
         if len(mps) == 0:
             return 0
+        # power-of-two buckets sized from the neighborhood (not a fixed cap:
+        # on big maps a silent 2048 cap shrank the loop acceptance count)
+        cap = self._point_bucket(len(mps))
+        mps = mps[:cap]
         # corrected current pose: Scw = S12 * S(T_loop)
         S_loop = sim3_np.from_se3(m.kf_pose[loop_kf])
         Scw = sim3_np.compose(S12, S_loop)
@@ -280,7 +298,7 @@ class LoopCloser:
         ok = (z > 0.1) & (u >= 0) & (u < self.cam.width) & (v >= 0) & (v < self.cam.height)
         if ok.sum() == 0:
             return 0
-        P = 2048
+        P = cap
         sel = np.zeros(P, np.int64)
         n = min(int(ok.sum()), P)
         sel[:n] = mps[ok][:n]
@@ -400,7 +418,9 @@ class LoopCloser:
         mps = mps[m.mp_valid[mps]]
         if len(mps) == 0:
             return
-        P = 2048
+        # sized from the loop neighborhood in power-of-two buckets (a fixed
+        # 2048 cap silently shrank fusion recall on big maps)
+        P = self._point_bucket(len(mps))
         sel = np.zeros(P, np.int64)
         n = min(len(mps), P)
         sel[:n] = mps[:n]
@@ -563,7 +583,10 @@ class LoopCloser:
                                  obs_cap: int = 8,
                                  use_mesh: bool = False,
                                  abort_check=None,
-                                 chunk: int = 5):
+                                 chunk: int = 5,
+                                 sweep_window: Optional[int] = None,
+                                 sweep_points: Optional[int] = None,
+                                 sweep_overlap: int = 64):
         """Full-map BA with snapshot semantics.
 
         The problem is gathered under the map lock, solved WITHOUT the lock
@@ -571,10 +594,27 @@ class LoopCloser:
         mbStopGBA analog — is honored between chunks), and written back
         under the lock with spanning-tree propagation to keyframes/points
         created while the solve ran (†RunGlobalBundleAdjustment's
-        mTcwGBA/mTcwBefGBA staged update)."""
+        mTcwGBA/mTcwBefGBA staged update). Maps bigger than the largest
+        single-solve bucket are optimized whole via the overlapping-window
+        sweep (_gba_sweep); sweep_window/sweep_points/sweep_overlap override
+        its geometry (tests use small windows)."""
         m = self.map
         cfg = self.cfg
         iters = iters or cfg.runtime.global_ba_iters
+        if max_kfs is None and not use_mesh:
+            # past the largest single-solve bucket the whole map is still
+            # optimized — as an overlapping-window sweep (KITTI-scale maps;
+            # the pre-sweep essential graph has already made poses roughly
+            # consistent, each window polishes against its anchored overlap)
+            n_live_kf = len(m.valid_keyframes())
+            win = sweep_window or self._GBA_BUCKETS[-1][0]
+            if n_live_kf > win:
+                return self._gba_sweep(
+                    iters, obs_cap, abort_check, chunk,
+                    window=win,
+                    max_points=sweep_points or self._GBA_BUCKETS[-1][1],
+                    overlap=sweep_overlap,
+                )
         if not self._lock_abortable(abort_check):
             return  # superseded while waiting for the map lock
         try:
@@ -591,19 +631,9 @@ class LoopCloser:
         if abort_check is None:
             res = self._gba_solve(prob, iters, use_mesh)
         else:
-            res = None
-            done = 0
-            while done < iters:
-                n = min(chunk, iters - done)
-                last = done + n >= iters
-                res = ba.optimize_ba(
-                    cam=self.cam, prob=prob, iters=n,
-                    outlier_rounds=1 if last else 0,
-                )
-                prob = prob._replace(poses=res.poses, points=res.points)
-                done += n
-                if abort_check() and not last:
-                    return  # superseded: discard (†mbStopGBA -> return)
+            res = self._solve_chunked(prob, iters, abort_check, chunk)
+            if res is None:
+                return  # superseded: discard (†mbStopGBA -> return)
         if not self._lock_abortable(abort_check):
             return  # superseded while waiting for the map lock
         try:
@@ -629,31 +659,41 @@ class LoopCloser:
                 return False
         return True
 
-    def _gba_gather(self, max_kfs, max_points, obs_cap):
-        """Build the statically-shaped GBA problem from the live map."""
+    def _gba_gather(self, max_kfs, max_points, obs_cap,
+                    kfs=None, fixed_prefix=1):
+        """Build the statically-shaped GBA problem from the live map.
+
+        `kfs` (temporal order) overrides window selection — the sweep path
+        passes explicit overlapping windows; `fixed_prefix` keyframes at the
+        head are held fixed as the gauge anchor (1 = reference behavior of
+        fixing KF id 0; a sweep window anchors on its already-optimized
+        overlap)."""
         m = self.map
         cfg = self.cfg
-        n_live_kf = len(m.valid_keyframes())
-        n_live_mp = len(m.valid_map_points())
-        if max_kfs is None or max_points is None:
-            for bk, bp in self._GBA_BUCKETS:
-                if n_live_kf <= bk and n_live_mp <= bp:
-                    max_kfs, max_points = bk, bp
-                    break
-            else:
-                max_kfs, max_points = self._GBA_BUCKETS[-1]
-                print(
-                    f"[global BA] map ({n_live_kf} KFs, {n_live_mp} pts) "
-                    f"exceeds largest bucket {self._GBA_BUCKETS[-1]}; "
-                    f"optimizing the newest window (older poses propagate "
-                    f"through the spanning tree at write-back)"
-                )
-        kfs = [int(k) for k in m.valid_keyframes()]
-        kfs.sort(key=lambda k: int(m.kf_seq[k]))  # temporal order (ids recycle)
-        if len(kfs) > max_kfs:
-            # window the NEWEST keyframes (drift lives there); the oldest
-            # kept KF is held fixed as the gauge anchor
-            kfs = kfs[-max_kfs:]
+        if kfs is None:
+            n_live_kf = len(m.valid_keyframes())
+            n_live_mp = len(m.valid_map_points())
+            if max_kfs is None or max_points is None:
+                for bk, bp in self._GBA_BUCKETS:
+                    if n_live_kf <= bk and n_live_mp <= bp:
+                        max_kfs, max_points = bk, bp
+                        break
+                else:
+                    max_kfs, max_points = self._GBA_BUCKETS[-1]
+                    print(
+                        f"[global BA] map ({n_live_kf} KFs, {n_live_mp} pts) "
+                        f"exceeds largest bucket {self._GBA_BUCKETS[-1]}; "
+                        f"optimizing the newest window (older poses propagate "
+                        f"through the spanning tree at write-back)"
+                    )
+            kfs = [int(k) for k in m.valid_keyframes()]
+            kfs.sort(key=lambda k: int(m.kf_seq[k]))  # temporal (ids recycle)
+            if len(kfs) > max_kfs:
+                # window the NEWEST keyframes (drift lives there); the oldest
+                # kept KF is held fixed as the gauge anchor
+                kfs = kfs[-max_kfs:]
+        else:
+            kfs = [int(k) for k in kfs if m.kf_valid[k]]
         if len(kfs) < 2:
             return None
         kf_to_w = {k: i for i, k in enumerate(kfs)}
@@ -664,13 +704,19 @@ class LoopCloser:
         obs_in = in_window[np.maximum(m.mp_obs_kf[mp_all], 0)] & (
             m.mp_obs_kf[mp_all] >= 0
         )
-        mp_ids = mp_all[obs_in.any(1)][:max_points]
+        mp_ids = mp_all[obs_in.any(1)]
+        if len(mp_ids) > max_points:
+            print(f"[global BA] point budget: {len(mp_ids) - max_points} of "
+                  f"{len(mp_ids)} window points beyond cap {max_points} move "
+                  f"with their reference KF instead of being optimized")
+            mp_ids = mp_ids[:max_points]
 
         Kw, Mw, Ow = max_kfs, max_points, obs_cap
         poses = np.tile(np.eye(4, dtype=np.float32), (Kw, 1, 1))
         poses[: len(kfs)] = m.kf_pose[kfs]
         opt_mask = np.zeros(Kw, bool)
-        opt_mask[1: len(kfs)] = True  # KF id 0 fixed (†BundleAdjustment)
+        # †BundleAdjustment fixes KF id 0; sweep windows fix their overlap
+        opt_mask[fixed_prefix: len(kfs)] = True
 
         w_of_kf = np.full(max(m.n_kf, 1), -1, np.int32)
         w_of_kf[np.asarray(kfs)] = np.arange(len(kfs), dtype=np.int32)
@@ -710,6 +756,103 @@ class LoopCloser:
         )
         return prob, kfs, mp_ids, opt_mask, n_ids
 
+    def _solve_chunked(self, prob, iters, abort_check, chunk):
+        """LM in `chunk`-iteration pieces, honoring the abort flag between
+        chunks (†mbStopGBA). Returns None when superseded."""
+        res = None
+        done = 0
+        while done < iters:
+            n = min(chunk, iters - done)
+            last = done + n >= iters
+            res = ba.optimize_ba(
+                cam=self.cam, prob=prob, iters=n,
+                outlier_rounds=1 if last else 0,
+            )
+            prob = prob._replace(poses=res.poses, points=res.points)
+            done += n
+            if abort_check is not None and abort_check() and not last:
+                return None
+        return res
+
+    def _gba_sweep(self, iters, obs_cap, abort_check, chunk,
+                   window, max_points, overlap: int = 64):
+        """Whole-map GBA past the largest single-solve bucket: overlapping
+        temporal windows swept oldest -> newest.
+
+        Window i is anchored on `overlap` keyframes already optimized by
+        window i-1 (held fixed), so corrections chain forward and EVERY
+        keyframe pose is optimized — unlike the pre-r5 behavior of
+        optimizing only the newest window. Per-window problems share one
+        static shape (window, max_points, obs_cap), so the whole sweep runs
+        through a single compiled BA program. Points are written back per
+        window (last window wins in overlaps); keyframes created while the
+        sweep ran and points never selected are corrected afterward via the
+        spanning tree / reference-KF transforms (†RunGlobalBundleAdjustment
+        staged propagation)."""
+        m = self.map
+        if not self._lock_abortable(abort_check):
+            return
+        try:
+            all_kfs = sorted((int(k) for k in m.valid_keyframes()),
+                             key=lambda k: int(m.kf_seq[k]))
+        finally:
+            m.lock.release()
+        step = max(window - overlap, 1)
+        n_win = 1 + max(0, -(-(len(all_kfs) - window) // step))
+        print(f"[global BA] sweep: {len(all_kfs)} KFs in {n_win} windows "
+              f"of {window} (overlap {overlap})")
+        eff_bef: Dict[int, np.ndarray] = {}
+        eff_new: Dict[int, np.ndarray] = {}
+        mp_opt = np.zeros(m.mp_valid.shape[0], bool)
+        start = 0
+        while True:
+            wk = all_kfs[start: start + window]
+            fixed_prefix = 1 if start == 0 else min(overlap, len(wk) - 1)
+            if not self._lock_abortable(abort_check):
+                return
+            try:
+                snap = self._gba_gather(window, max_points, obs_cap,
+                                        kfs=wk, fixed_prefix=fixed_prefix)
+                if snap is not None:
+                    bef = {int(k): m.kf_pose[k].copy() for k in snap[1]}
+            finally:
+                m.lock.release()
+            if snap is not None:
+                prob, kfs_w, mp_ids, opt_mask, n_ids = snap
+                res = self._solve_chunked(prob, iters, abort_check, chunk)
+                if res is None:
+                    return  # superseded mid-sweep: completed windows stand
+                new_poses = np.asarray(res.poses)
+                new_points = np.asarray(res.points)[:n_ids]
+                if not self._lock_abortable(abort_check):
+                    return
+                try:
+                    for w, k in enumerate(kfs_w):
+                        if not m.kf_valid[k]:
+                            continue
+                        # first appearance keeps the true pre-sweep pose
+                        eff_bef.setdefault(k, bef[k])
+                        T = (new_poses[w] if opt_mask[w]
+                             else m.kf_pose[k].copy())
+                        eff_new[k] = T
+                        m.kf_pose[k] = T
+                    sel = m.mp_valid[mp_ids]
+                    live = mp_ids[sel]
+                    m.mp_pos[live] = new_points[sel]
+                    mp_opt[live] = True
+                finally:
+                    m.lock.release()
+            if start + window >= len(all_kfs):
+                break
+            start += step
+        if not self._lock_abortable(abort_check):
+            return
+        try:
+            self._propagate_unoptimized(eff_bef, eff_new, mp_opt)
+            m.version += 1
+        finally:
+            m.lock.release()
+
     def _gba_solve(self, prob, iters, use_mesh):
         if use_mesh:
             # multi-chip: landmark axis sharded over all devices, Schur
@@ -731,15 +874,28 @@ class LoopCloser:
         m = self.map
         eff_bef: Dict[int, np.ndarray] = {}
         eff_new: Dict[int, np.ndarray] = {}
-        in_snap = set()
         for w, k in enumerate(kfs):
             if not m.kf_valid[k]:
                 continue
-            in_snap.add(k)
             eff_bef[k] = bef_poses[k]
             eff_new[k] = new_poses[w] if opt_mask[w] else m.kf_pose[k].copy()
-        # keyframes created (or re-parented) during GBA: correct relative to
-        # the nearest snapshot ancestor in the spanning tree
+        # points: optimized ones get their solved positions; the rest move
+        # with their reference keyframe's correction (helper)
+        live_ids = mp_ids[m.mp_valid[mp_ids]]
+        sel = m.mp_valid[mp_ids]
+        m.mp_pos[live_ids] = new_points[sel]
+        in_ids = np.zeros(m.mp_valid.shape[0], bool)
+        in_ids[live_ids] = True
+        self._propagate_unoptimized(eff_bef, eff_new, in_ids)
+
+    def _propagate_unoptimized(self, eff_bef, eff_new, mp_moved):
+        """Shared GBA write-back tail: propagate corrections to keyframes
+        outside the optimized set (created or re-parented during the solve)
+        via the nearest optimized spanning-tree ancestor, move points that
+        were never optimized with their reference keyframe's correction,
+        then commit the keyframe poses."""
+        m = self.map
+        in_snap = set(eff_new)
         for k in [int(x) for x in m.valid_keyframes()]:
             if k in in_snap:
                 continue
@@ -754,14 +910,7 @@ class LoopCloser:
             T_rel = bef_cur @ np.linalg.inv(eff_bef[anc])
             eff_bef[k] = bef_cur
             eff_new[k] = (T_rel @ eff_new[anc]).astype(np.float32)
-        # points: optimized ones get their solved positions; the rest move
-        # with their reference keyframe's correction
-        live_ids = mp_ids[m.mp_valid[mp_ids]]
-        sel = m.mp_valid[mp_ids]
-        m.mp_pos[live_ids] = new_points[sel]
-        in_ids = np.zeros(m.mp_valid.shape[0], bool)
-        in_ids[live_ids] = True
-        others = np.where(m.mp_valid[: m.n_mp] & ~in_ids[: m.n_mp])[0]
+        others = np.where(m.mp_valid[: m.n_mp] & ~mp_moved[: m.n_mp])[0]
         for mp in others:
             rk = int(m.mp_ref_kf[mp])
             if rk not in eff_new:

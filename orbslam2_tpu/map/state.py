@@ -671,8 +671,12 @@ class MapState:
     def remove_keyframe(self, kf: int):
         """KeyFrame::SetBadFlag — detach observations and graph edges.
 
-        Children are re-parented to the removed node's parent (simplified
-        from the reference's best-covisible-parent search)."""
+        Children are re-parented with the reference's iterative
+        best-covisible-parent search: the candidate-parent set starts as
+        {removed node's parent} and grows with each re-parented child, and
+        at every step the (child, candidate) pair with the highest
+        covisibility weight is connected; children with no covisible
+        candidate fall back to the removed node's parent."""
         touched = self.kf_mp[kf][self.kf_mp[kf] >= 0]
         for mp in touched:
             self.erase_observation(int(mp), kf)
@@ -685,6 +689,23 @@ class MapState:
                 self.covis_idx[other, p] = -1
                 self.covis_w[other, p] = 0
         parent = self.span_parent[kf]
+        children = [int(c) for c in np.where(self.span_parent == kf)[0]
+                    if self.kf_valid[c]]
+        if children and parent >= 0:
+            candidates = {int(parent)}
+            while children:
+                best_w, best_child, best_parent = 0, -1, -1
+                for c in children:
+                    idx, w = self.covis_idx[c], self.covis_w[c]
+                    for j in np.where(idx >= 0)[0]:
+                        if int(idx[j]) in candidates and w[j] > best_w:
+                            best_w = int(w[j])
+                            best_child, best_parent = c, int(idx[j])
+                if best_child < 0:
+                    break  # no child covises any candidate: fall back
+                self.span_parent[best_child] = best_parent
+                candidates.add(best_child)
+                children.remove(best_child)
         self.span_parent[self.span_parent == kf] = parent
         self.free_kf_pending.append(int(kf))
         # Re-anchor points whose reference KF was just culled: the

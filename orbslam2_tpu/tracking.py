@@ -1297,7 +1297,7 @@ class Tracker:
         m = self.map
         qbow = self.kfdb.compute_bow(frame.desc, frame.valid)
         candidates = self.kfdb.detect_relocalization_candidates(qbow)
-        for cand in candidates[:10]:  # †all retrieved candidates attempted
+        for cand in candidates:  # †all retrieved candidates attempted
             # BoW-style match: frame features vs candidate KF's map points
             has = m.kf_feat_valid[cand] & (m.kf_mp[cand] >= 0)
             res = matching.match_descriptors(
@@ -1442,7 +1442,7 @@ class Tracker:
 
     def _spawn_depth_points(self, frame: FrameData, kf: int, max_new: int = 500):
         # (reference caps at 100 close points; with depth available for every
-        # feature we spawn up to 300 so purely rotational motion onto
+        # feature we spawn up to max_new=500 so purely rotational motion onto
         # newly-seen geometry keeps enough trackable points)
         m = self.map
         th_depth = self.cfg.camera.th_depth * self._baseline

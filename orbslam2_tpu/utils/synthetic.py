@@ -25,13 +25,20 @@ class Plane:
     tex: np.ndarray   # (Th, Tw) float32 texture in [0, 255]
 
 
-def _make_texture(rng, size=512, blur=1.2, contrast=1.0):
-    """Structured texture: band-limited noise + random rectangles/edges.
+def _make_texture(rng, size=512, blur=1.2, contrast=1.0, style=None):
+    """Structured texture: band-limited noise + style-dependent structure.
 
-    Pure blurred noise is isotropic — real indoor scenes have oriented
-    structure (posters, furniture edges), which is what makes the
-    intensity-centroid orientation stable. Mix both so the synthetic world
-    stresses the pipeline the way real footage does.
+    Pure blurred noise is isotropic — real scenes have oriented structure
+    (posters, furniture edges, brickwork, window grids), which is what makes
+    the intensity-centroid orientation stable AND what gives a bag-of-words
+    vocabulary its word-usage statistics. Styles (drawn at random when
+    unspecified) vary that structure so a vocabulary trained on these worlds
+    is not dominated by one patch family:
+
+      rects    — random opaque rectangles (posters / furniture)
+      stripes  — oriented bands (fences, siding, blinds)
+      bricks   — offset grid of shaded cells (brickwork / windows)
+      blobs    — soft elliptical patches (vegetation / stains)
     """
     t = rng.uniform(0, 1, size=(size, size)).astype(np.float32)
     k = max(int(blur * 2) | 1, 3)
@@ -40,14 +47,52 @@ def _make_texture(rng, size=512, blur=1.2, contrast=1.0):
     t = np.apply_along_axis(lambda r: np.convolve(r, kernel, "same"), 1, t)
     t = np.apply_along_axis(lambda c: np.convolve(c, kernel, "same"), 0, t)
     t = (t - t.min()) / max(t.max() - t.min(), 1e-9)
-    # overlay opaque random rectangles (sharp oriented edges + corners)
-    for _ in range(60):
-        h = int(rng.integers(8, 60))
-        w = int(rng.integers(8, 60))
-        y = int(rng.integers(0, size - h))
-        x = int(rng.integers(0, size - w))
+    style = style or rng.choice(["rects", "stripes", "bricks", "blobs"])
+    if style == "rects":
+        for _ in range(60):
+            h = int(rng.integers(8, 60))
+            w = int(rng.integers(8, 60))
+            y = int(rng.integers(0, size - h))
+            x = int(rng.integers(0, size - w))
+            shade = rng.uniform(0, 1)
+            t[y:y + h, x:x + w] = 0.7 * shade + 0.3 * t[y:y + h, x:x + w]
+    elif style == "stripes":
+        period = int(rng.integers(14, 48))
+        ang = rng.uniform(0, np.pi)
+        yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+        phase = (xx * np.cos(ang) + yy * np.sin(ang)) / period
+        bands = (phase - np.floor(phase)) < rng.uniform(0.3, 0.7)
         shade = rng.uniform(0, 1)
-        t[y : y + h, x : x + w] = 0.7 * shade + 0.3 * t[y : y + h, x : x + w]
+        t = np.where(bands, 0.65 * shade + 0.35 * t, t)
+        for _ in range(20):  # breaks in the stripes -> corners
+            h = int(rng.integers(10, 50))
+            w = int(rng.integers(10, 50))
+            y = int(rng.integers(0, size - h))
+            x = int(rng.integers(0, size - w))
+            t[y:y + h, x:x + w] = 0.7 * rng.uniform(0, 1) + 0.3 * t[y:y + h, x:x + w]
+    elif style == "bricks":
+        bh = int(rng.integers(20, 50))
+        bw = int(rng.integers(30, 80))
+        for r0 in range(0, size, bh):
+            off = (r0 // bh % 2) * bw // 2
+            for c0 in range(-bw, size, bw):
+                sh = rng.uniform(0.2, 1.0)
+                y1, x1 = min(r0 + bh - 2, size), min(c0 + off + bw - 2, size)
+                y0, x0 = max(r0, 0), max(c0 + off, 0)
+                if y1 > y0 and x1 > x0:
+                    t[y0:y1, x0:x1] = 0.6 * sh + 0.4 * t[y0:y1, x0:x1]
+    else:  # blobs
+        yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+        for _ in range(40):
+            cy, cx = rng.integers(0, size, 2)
+            sy, sx = rng.uniform(6, 40, 2)
+            th = rng.uniform(0, np.pi)
+            dy, dx = yy - cy, xx - cx
+            ry = dy * np.cos(th) - dx * np.sin(th)
+            rx = dy * np.sin(th) + dx * np.cos(th)
+            mask = (ry / sy) ** 2 + (rx / sx) ** 2 < 1.0
+            sh = rng.uniform(0, 1)
+            t = np.where(mask, 0.55 * sh + 0.45 * t, t)
     return (20 + 215 * contrast * t).astype(np.float32)
 
 
@@ -70,6 +115,39 @@ def make_box_room(seed=0, size=6.0, height=3.0) -> List[Plane]:
     add([-s, -h, -s], e[0] * size, e[1] * height)  # front wall (z = -s)
     add([-s, -h, -s], e[2] * size, e[1] * height)  # left wall  (x = -s)
     add([+s, -h, -s], e[2] * size, e[1] * height)  # right wall (x = +s)
+    return planes
+
+
+def make_corridor(seed=0, length=120.0, width=8.0, height=5.0,
+                  segment=10.0) -> List[Plane]:
+    """Street-like corridor along +z: ground plane plus two facade walls
+    tiled from `segment`-meter panels with independently drawn textures.
+
+    Panels share texture STYLES (brick rows, stripe periods) while differing
+    in detail — the self-similar-but-not-identical structure that makes
+    street-scale place recognition hard (KITTI 00's facade problem), which a
+    box room cannot reproduce. Drive a camera down +z for a KITTI-ish run."""
+    rng = np.random.default_rng(seed)
+    w, h = width / 2.0, height
+    planes = []
+
+    def add(p0, eu, ev, style=None):
+        planes.append(
+            Plane(np.asarray(p0, np.float32), np.asarray(eu, np.float32),
+                  np.asarray(ev, np.float32),
+                  _make_texture(rng, style=style))
+        )
+
+    n_seg = max(int(np.ceil(length / segment)), 1)
+    # one ground strip per segment (texture variety along the track too)
+    for i in range(n_seg):
+        z0 = i * segment
+        add([-w, 2.0, z0], [width, 0, 0], [0, 0, segment], style="blobs")
+        # facades: mostly bricks/stripes — the repeating-structure confusers
+        style = ["bricks", "stripes", "rects"][int(rng.integers(0, 3))]
+        add([-w, 2.0 - h, z0], [0, 0, segment], [0, h, 0], style=style)
+        style = ["bricks", "stripes", "rects"][int(rng.integers(0, 3))]
+        add([+w, 2.0 - h, z0], [0, 0, segment], [0, h, 0], style=style)
     return planes
 
 

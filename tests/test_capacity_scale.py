@@ -97,6 +97,124 @@ class TestMapGrowth:
         assert (np.diff(seqs) > 0).all()
 
 
+class TestGbaSweep:
+    def test_1300_kf_sweep_optimizes_every_pose(self, capsys):
+        """VERDICT r4 #6: past the largest single-solve bucket, GBA must
+        optimize EVERY keyframe pose (overlapping-window sweep), not just
+        the newest window. Build a 1300-KF corridor whose poses carry
+        independent local noise (the post-loop-correction regime GBA runs
+        in: the essential graph has already removed smooth drift — SURVEY
+        §3.4 ordering) while the stored measurements are exactly consistent
+        with ground truth; the sweep must shrink the error EVERYWHERE,
+        including the oldest keyframes the pre-r5 newest-window truncation
+        never touched."""
+        from orbslam2_tpu.loop_closing import LoopCloser
+        from orbslam2_tpu.map.keyframe_database import KeyFrameDatabase
+        from orbslam2_tpu.models.camera import Camera
+        from orbslam2_tpu.ops import geometry as geo
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(7)
+        cfg = _cfg()
+        m = MapState.allocate(cfg)
+        NF = m.kf_xy.shape[1]  # feature slots per keyframe
+        cam = Camera.create(fx=260.0, fy=260.0, cx=160.0, cy=120.0,
+                            width=320, height=240)
+        n_kf = 1300
+        P_NEW, SPAN = 12, 4  # 12 new points per KF, each seen by 4 KFs
+
+        def true_pose(i):
+            return _corridor_pose(i)
+
+        def jitter(C):  # local world-side warp CENTERED AT THE CAMERA
+            # (a rotation about the world origin would move a camera 1 km
+            # down the corridor by meters per mrad — not local noise)
+            xi = np.concatenate([
+                np.zeros(3),
+                rng.normal(0, 0.002, 3),   # 2 mrad rotation noise
+            ]).astype(np.float32)
+            Wr = np.array(geo.se3_exp(jnp.asarray(xi)))  # writable copy
+            Wr[:3, 3] = (C - Wr[:3, :3] @ C
+                         + rng.normal(0, 0.02, 3))  # 2 cm translation noise
+            return Wr.astype(np.float32)
+
+        # points pending future observations: (mp_id, true_pw, obs_left)
+        pending = []
+        kf_ids = []
+        for i in range(n_kf):
+            Tt = true_pose(i)
+            C_i = np.linalg.inv(Tt)[:3, 3]
+            W = jitter(C_i) if i > 0 else np.eye(4, dtype=np.float32)
+            # world-side warp: stored pose / points consistent per KF,
+            # exact measurements; see the drift model in _gba_write_back
+            Td = (Tt @ np.linalg.inv(W)).astype(np.float32)
+            # new world points a few meters ahead of camera i (true frame)
+            Twc = np.linalg.inv(Tt)
+            pc = np.stack([rng.uniform(-2, 2, P_NEW),
+                           rng.uniform(-1.5, 1.5, P_NEW),
+                           rng.uniform(3, 8, P_NEW)], 1).astype(np.float32)
+            pw_true = pc @ Twc[:3, :3].T + Twc[:3, 3]
+
+            # this KF's measurement slots: project TRUE points through the
+            # TRUE pose (exact measurements; noise lives only in the state)
+            obs = [(None, p) for p in pw_true] + \
+                  [(mp, p) for mp, p, _ in pending]
+            xy = np.zeros((NF, 2), np.float32)
+            valid = np.zeros(NF, bool)
+            feats = []
+            for slot, (mp, pw) in enumerate(obs[:NF]):
+                pci = Tt[:3, :3] @ pw + Tt[:3, 3]
+                u = 260.0 * pci[0] / pci[2] + 160.0
+                v = 260.0 * pci[1] / pci[2] + 120.0
+                xy[slot] = (u, v)
+                valid[slot] = True
+                feats.append((slot, mp, pw))
+            kf = m.add_keyframe(
+                Td, xy, rng.integers(0, 256, (NF, 32), dtype=np.uint8),
+                np.zeros(NF, np.int32), np.zeros(NF, np.float32),
+                valid, i, i / 30.0,
+            )
+            kf_ids.append(kf)
+            new_pending = []
+            for slot, mp, pw in feats:
+                if mp is None:
+                    # stored point = true point under this KF's local warp
+                    pw_stored = W[:3, :3] @ pw + W[:3, 3]
+                    mp = m.add_map_point(pw_stored.astype(np.float32), kf)
+                    new_pending.append((mp, pw, SPAN - 1))
+                m.add_observation(mp, kf, slot)
+            m.update_connections(kf)
+            pending = new_pending + [
+                (mp, p, left - 1) for mp, p, left in pending if left > 1
+            ]
+
+        lc = LoopCloser(cfg, m, cam, KeyFrameDatabase(m))
+        gt_c = np.stack([np.linalg.inv(true_pose(i))[:3, 3]
+                         for i in range(n_kf)])
+
+        def rms_err(sl):
+            est = np.stack([np.linalg.inv(m.kf_pose[k])[:3, 3]
+                            for k in kf_ids[sl]])
+            return float(np.sqrt(((est - gt_c[sl]) ** 2).sum(1).mean()))
+
+        whole, oldest = slice(None), slice(0, n_kf - 256)
+        e_pre, e_pre_old = rms_err(whole), rms_err(oldest)
+        assert e_pre > 0.015, "noise construction must produce real error"
+        lc.global_bundle_adjustment(
+            iters=8, obs_cap=SPAN, sweep_window=64, sweep_points=4096,
+            sweep_overlap=16,
+        )
+        out = capsys.readouterr().out
+        assert "sweep:" in out, out
+        assert "newest window" not in out  # no truncation print
+        assert np.isfinite(m.kf_pose[kf_ids]).all()
+        e_post, e_post_old = rms_err(whole), rms_err(oldest)
+        assert e_post < 0.3 * e_pre, (e_pre, e_post)
+        # the pre-r5 truncation left every KF older than the newest 256
+        # untouched; the sweep must improve them too
+        assert e_post_old < 0.3 * e_pre_old, (e_pre_old, e_post_old)
+
+
 class TestEssentialGraphScale:
     @pytest.mark.parametrize("K", [2000])
     def test_odometry_chain_with_loop(self, K):

@@ -1,0 +1,93 @@
+"""End-to-end rendered loop closure (VERDICT r4 #3): a full 360-degree
+circuit rendered with real textures, tracked with the real extractor /
+BoW vocabulary through AsyncSlamSystem, must accumulate drift, fire
+DetectLoop -> Sim3 -> correction -> GBA, and measurably improve the
+keyframe-trajectory ATE.
+
+This is the integration seam no unit test covers: loop DETECTION here runs
+on real descriptor noise (revisit views re-extracted from pixels, not
+copied descriptors), and the correction has to survive the live pipeline
+(†LoopClosing::Run, SURVEY §3.4)."""
+
+import numpy as np
+
+from orbslam2_tpu.config import CameraConfig, ExtractorConfig, SlamConfig
+from orbslam2_tpu.pipeline import AsyncSlamSystem
+from orbslam2_tpu.utils.evaluation import ate_rmse
+from orbslam2_tpu.utils.synthetic import make_box_room, render
+
+W, H = 320, 240
+K = np.array([[260.0, 0, W / 2], [0, 260.0, H / 2], [0, 0, 1]], np.float32)
+N_FRAMES = 240
+LAPS = 1.25  # 25% past 360 deg: several keyframes re-see the start views
+
+
+def _circuit_poses(n):
+    """Camera on a radius-3 circle inside a 10 m box room, facing outward
+    (radially): view distance to the walls is 2-4 m and the final quarter
+    of the frames look at exactly what the first frames saw."""
+    poses = []
+    for i in range(n):
+        th = 2 * np.pi * LAPS * i / n
+        C = 3.0 * np.array([np.sin(th), 0.0, np.cos(th)], np.float32)
+        C[1] = 0.08 * np.sin(0.11 * i)  # slight bob for parallax richness
+        Rwc = np.array([
+            [np.cos(th), 0, np.sin(th)],
+            [0, 1, 0],
+            [-np.sin(th), 0, np.cos(th)],
+        ], np.float32)
+        Tcw = np.eye(4, dtype=np.float32)
+        Tcw[:3, :3] = Rwc.T
+        Tcw[:3, 3] = -Rwc.T @ C
+        poses.append(Tcw)
+    return poses
+
+
+def test_rendered_circuit_closes_loop_and_improves_ate():
+    planes = make_box_room(seed=3, size=10.0, height=3.0)
+    poses = _circuit_poses(N_FRAMES)
+    frames = [render(planes, K, T, W, H, return_depth=True) for T in poses]
+
+    cfg = SlamConfig(
+        sensor="rgbd",
+        camera=CameraConfig(fx=260, fy=260, cx=W / 2, cy=H / 2, width=W,
+                            height=H, bf=26.0,
+                            # fps sets max_frames_between_kf: keep keyframes
+                            # dense enough for the >=10-KF loop gate even if
+                            # the async mapper back-pressure slows admission
+                            fps=10),
+        extractor=ExtractorConfig(n_features=600, n_levels=4),
+    )
+    slam = AsyncSlamSystem(cfg)
+
+    def kf_ate():
+        kts, kps = [], []
+        for ts, T in slam.keyframe_trajectory():
+            kts.append(ts)
+            kps.append(np.linalg.inv(T)[:3, 3])
+        if len(kps) < 3:
+            return None
+        gt = np.stack([
+            np.linalg.inv(poses[int(round(t * 30))])[:3, 3] for t in kts
+        ])
+        return ate_rmse(np.stack(kps), gt, with_scale=False)
+
+    pre_ate = None
+    for i, (img, depth) in enumerate(frames):
+        slam.track_rgbd(img, depth, i / 30.0)
+        if slam.loop_closer.loops_closed == 0:
+            a = kf_ate()
+            if a is not None:
+                pre_ate = a  # last drift reading before any loop fired
+    slam.shutdown()  # flush pipeline, drain mapping/loop queues, join GBA
+
+    assert slam.loop_closer.loops_closed >= 1, (
+        f"no loop closed over a {LAPS:.2f}-lap rendered circuit "
+        f"({len(slam.map.valid_keyframes())} KFs)"
+    )
+    post_ate = kf_ate()
+    assert pre_ate is not None and post_ate is not None
+    # drift must have been real, and the correction must beat it
+    assert pre_ate > 0.015, f"circuit accumulated no drift ({pre_ate:.4f})"
+    assert post_ate < 0.7 * pre_ate, (pre_ate, post_ate)
+    assert post_ate < 0.05, post_ate
