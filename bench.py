@@ -189,32 +189,36 @@ def _ba_problem(K, M, O, rng):
 
 
 def bench_ba(K=64, M=4096, O=8, reps=5):
-    """LM throughput + both rooflines (FLOPs and HBM bytes) at one size."""
+    """LM throughput + both rooflines (FLOPs and HBM bytes) at one size.
+
+    Every rep solves a DISTINCT problem and every result is held live —
+    repeating one input lets the relay-attached backend dedup identical
+    dispatches (measured: a repeated 1536-Cholesky 'ran' in 33 us vs
+    186 us with distinct inputs), which silently inflates iters/s."""
     import jax
 
     from orbslam2_tpu.models.camera import Camera
     from orbslam2_tpu.ops import ba
 
-    rng = np.random.default_rng(1)
     cam = Camera.create(fx=520.0, fy=520.0, cx=320.0, cy=240.0,
                         width=640, height=480)
-    prob = _ba_problem(K, M, O, rng)
+    probs = [_ba_problem(K, M, O, np.random.default_rng(1 + i))
+             for i in range(reps)]
     ITERS = 10
     fn = jax.jit(lambda p: ba.optimize_ba(cam=cam, prob=p, iters=ITERS,
                                           outlier_rounds=0))
-    compiled = fn.lower(prob).compile()
+    compiled = fn.lower(probs[0]).compile()
     try:
         ca = compiled.cost_analysis()
         flops_per_call = float(ca["flops"])
         bytes_per_call = float(ca.get("bytes accessed", float("nan")))
     except Exception:
         flops_per_call = bytes_per_call = float("nan")
-    res = fn(prob)
-    jax.block_until_ready(res)
+    outs = [fn(p) for p in probs]
+    jax.block_until_ready(outs)
     t0 = time.perf_counter()
-    for _ in range(reps):
-        res = fn(prob)
-    jax.block_until_ready(res)
+    outs = [fn(p) for p in probs]
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
     iters_per_s = reps * ITERS / dt
     peak = float(os.environ.get("SLAM_TPU_PEAK_FLOPS", 4.9e13))

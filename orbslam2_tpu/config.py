@@ -160,11 +160,11 @@ class RuntimeConfig:
     # depth free of data dependencies).
     pipeline_depth: int = 2
     # Elastic upper bound for the pipelined-tracking queue: past
-    # pipeline_depth a frame is committed only when its packed result's
-    # device computation is complete (jax.Array.is_ready probe — the async
-    # D2H copy normally lands shortly after, so the commit's blocking pull
-    # is cheap, though not guaranteed free); past pipeline_depth_max the
-    # commit blocks. On a slow shared link (relay weather) the queue
+    # pipeline_depth a frame is committed only when its packed result has
+    # LANDED on the host (the background puller thread's future is done —
+    # actual transfer completion, pulled off the dispatch thread); past
+    # pipeline_depth_max the commit blocks on the in-flight pull. On a
+    # slow shared link (relay weather) the queue
     # stretches instead of stalling dispatch on every pull; on a
     # direct-attached chip results are ready by depth 2 and the bound is
     # never approached. Callers still receive the freshest committed pose

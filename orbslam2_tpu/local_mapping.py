@@ -372,6 +372,7 @@ class LocalMapper:
         m = self.map
         cfg = self.cfg
         with m.lock:
+            epoch = m.correction_epoch
             gathered = self._create_new_points_gather(kf)
         if gathered is None:
             return
@@ -381,6 +382,12 @@ class LocalMapper:
             t.copy_to_host_async()  # overlap the three D2H pulls
         X_all, good_all, idx_all = (np.asarray(t) for t in out)
         with m.lock:
+            if m.correction_epoch != epoch:
+                # a loop correction / GBA rewrote the geometry while the
+                # kernel ran: these triangulations live in the OLD frame
+                print("[mapping] discarding stale triangulation "
+                      "(correction landed mid-flight)")
+                return
             self._create_new_points_commit(
                 kf, nb_arr, n_nbs, X_all, good_all, idx_all
             )
@@ -499,6 +506,7 @@ class LocalMapper:
         m = self.map
         sf = self.cfg.extractor.scale_factor
         with m.lock:
+            epoch = m.correction_epoch
             neighbors = [int(x) for x in m.covisible_keyframes(kf, 10)]
             if not neighbors:
                 return
@@ -549,6 +557,10 @@ class LocalMapper:
         rv_d = np.asarray(res_d.valid)
         ridx_d = np.asarray(res_d.idx)
         with m.lock:
+            if m.correction_epoch != epoch:
+                print("[mapping] discarding stale fuse matches "
+                      "(correction landed mid-flight)")
+                return
             self._fuse_commit(kf, neighbors, directions, sel_d, pv_d,
                               rv_d, ridx_d)
 
@@ -595,12 +607,20 @@ class LocalMapper:
         liveness re-checked."""
         m = self.map
         with m.lock:
+            epoch = m.correction_epoch
             gathered = self._local_ba_gather(kf)
         if gathered is None:
             return
         window, opt_mask_w, mp_ids, obs_valid, obs_src, prob = gathered
         res = self._local_ba_solve(prob)
         with m.lock:
+            if m.correction_epoch != epoch:
+                # the window was gathered pre-correction; writing the solved
+                # poses back now would clobber the loop correction with
+                # stale geometry (†RequestStop protocol analog)
+                print("[mapping] discarding stale local-BA result "
+                      "(correction landed mid-flight)")
+                return
             self._local_ba_write_back(
                 window, opt_mask_w, mp_ids, obs_valid, obs_src, res
             )

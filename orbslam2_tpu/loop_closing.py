@@ -340,7 +340,10 @@ class LoopCloser:
             k: corr_arr[i] for i, k in enumerate(group)
         }
 
-        # move the group's map points and poses (†CorrectLoop map update)
+        # move the group's map points and poses (†CorrectLoop map update).
+        # The epoch bump makes any mapper work gathered before this moment
+        # discard its commit (the †LocalMapping::RequestStop analog).
+        m.correction_epoch += 1
         moved = np.zeros(m.n_mp, bool)
         for i, k in enumerate(group):
             mps = np.unique(m.kf_mp[k])
@@ -827,6 +830,7 @@ class LoopCloser:
                 if not self._lock_abortable(abort_check):
                     return
                 try:
+                    m.correction_epoch += 1  # stale mapper commits discard
                     for w, k in enumerate(kfs_w):
                         if not m.kf_valid[k]:
                             continue
@@ -848,6 +852,7 @@ class LoopCloser:
         if not self._lock_abortable(abort_check):
             return
         try:
+            m.correction_epoch += 1
             self._propagate_unoptimized(eff_bef, eff_new, mp_opt)
             m.version += 1
         finally:
@@ -872,6 +877,7 @@ class LoopCloser:
         keyframes and points created during the solve (†the mnBAGlobalForKF /
         mTcwBefGBA spanning-tree walk)."""
         m = self.map
+        m.correction_epoch += 1  # invalidate in-flight mapper commits
         eff_bef: Dict[int, np.ndarray] = {}
         eff_new: Dict[int, np.ndarray] = {}
         for w, k in enumerate(kfs):

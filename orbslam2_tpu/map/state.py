@@ -149,6 +149,14 @@ class MapState:
     n_mp: int = 0
     next_kf_id: int = 0
     version: int = 0             # bumped on structural writes (gather caches)
+    # Bumped (under the lock) whenever poses/points are rewritten wholesale
+    # by a loop correction or a GBA write-back. Mapper work that gathered
+    # BEFORE the bump and would commit AFTER it (the gather -> off-lock
+    # device solve -> commit discipline) must DISCARD its result: a local
+    # BA / triangulation computed against pre-correction geometry would
+    # clobber the correction (the reference prevents this with the
+    # LocalMapping::RequestStop handshake around †CorrectLoop).
+    correction_epoch: int = 0
     dev_kf: KfDeviceMirror = field(default_factory=KfDeviceMirror)
 
     # ------------------------------------------------------------------

@@ -241,11 +241,21 @@ def _schur_solve(S, b_S, opt_mask, lam):
 
 
 def _build_and_solve(cam, poses, points, prob: BAProblem, obst: _ObsT,
-                     valid_t, use_huber, lam, axis_name=None):
-    """One LM step: build (obs-last layout), Schur-solve, back-substitute."""
+                     valid_t, use_huber, lam, axis_name=None,
+                     half_assembly=False):
+    """One LM step: build (obs-last layout), Schur-solve, back-substitute.
+
+    half_assembly=True stores the big S-assembly intermediates (the
+    one-hot-weighted (K, 18, M) P/Q blocks, the stacked 42xN normal-eq
+    rows, and the one-hot itself) in bfloat16 — at GBA scale these
+    materializations are the HBM traffic budget (~1.9 GB/iter f32 at
+    K=256/M=32768), and bulk LM iterations already run bf16 matmuls, so
+    the extra rounding is the same order as the existing mixed-precision
+    design (the f32 tail iterations re-linearize exactly)."""
     K = poses.shape[0]
     O, M = obst.sigma2.shape
     N = O * M
+    asm = jnp.bfloat16 if half_assembly else poses.dtype
     r, Jp, Jl, z = _project_t(cam, poses, points, obst)
     w, _, _ = _robust_t(r, obst.sigma2, obst.is_stereo, valid_t, z, use_huber)
 
@@ -280,8 +290,10 @@ def _build_and_solve(cam, poses, points, prob: BAProblem, obst: _ObsT,
     for i in range(6):
         rows.append(_nz(functools.reduce(
             _acc, (_mul(Jpw[a][i], r[a]) for a in range(3)), None)))
-    Hb = jnp.stack(rows, 0).reshape(42, N)
-    red = jnp.einsum("kn,cn->kc", obst.onehot, Hb)           # (K, 42)
+    oh_asm = obst.onehot.astype(asm)  # {0,1}: exact in bf16
+    Hb = jnp.stack(rows, 0).reshape(42, N).astype(asm)
+    red = jnp.einsum("kn,cn->kc", oh_asm, Hb,
+                     preferred_element_type=poses.dtype)     # (K, 42)
     H_cc = red[:, :36].reshape(K, 6, 6)
     b_c = red[:, 36:]
 
@@ -305,9 +317,11 @@ def _build_and_solve(cam, poses, points, prob: BAProblem, obst: _ObsT,
     ED = [[functools.reduce(
         _acc, (_mul(E[c][a], Dinv[a][j]) for a in range(3)), None)
         for j in range(3)] for c in range(6)]
-    EDs = jnp.stack([_nz(ED[c][j]) for c in range(6) for j in range(3)], 0)
-    Es = jnp.stack([_nz(E[c][j]) for c in range(6) for j in range(3)], 0)
-    oh3 = obst.onehot.reshape(K, O, M)
+    EDs = jnp.stack(
+        [_nz(ED[c][j]) for c in range(6) for j in range(3)], 0).astype(asm)
+    Es = jnp.stack(
+        [_nz(E[c][j]) for c in range(6) for j in range(3)], 0).astype(asm)
+    oh3 = oh_asm.reshape(K, O, M)
     P = functools.reduce(_acc, (
         oh3[:, None, o, :] * EDs[None, :, o, :] for o in range(O)
     ), None)                                                 # (K, 18, M)
@@ -316,9 +330,14 @@ def _build_and_solve(cam, poses, points, prob: BAProblem, obst: _ObsT,
     ), None)
     P2 = P.reshape(K * 6, 3 * M)
     Q2 = Qm.reshape(K * 6, 3 * M)
-    S = -(P2 @ Q2.T)
+    S = -jax.lax.dot_general(
+        P2, Q2, (((1,), (1,)), ((), ())),
+        preferred_element_type=poses.dtype,
+    )
     blf = jnp.stack(b_l, 0).reshape(3 * M)
-    b_S = b_c.reshape(K * 6) - P2 @ blf
+    b_S = b_c.reshape(K * 6) - jnp.einsum(
+        "cn,n->c", P2, blf.astype(asm), preferred_element_type=poses.dtype
+    )
 
     eyeK = jnp.eye(K, dtype=S.dtype)
     S = S + jnp.einsum("kij,kl->kilj", H_cc, eyeK).reshape(K * 6, K * 6)
@@ -397,6 +416,7 @@ def optimize_ba_impl(
                 dc, dl = _build_and_solve(
                     cam, poses, points, prob, obst, valid_t, use_huber, lam,
                     axis_name=axis_name,
+                    half_assembly=(matmul_precision == "default"),
                 )
                 if fix_points:
                     dl = jnp.zeros_like(dl)

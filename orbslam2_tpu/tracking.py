@@ -516,6 +516,19 @@ class Tracker:
         # runtime.pipeline_depth entries) + the device-resident pose chain
         # (Tcw_prev, Tcw_prev2) feeding track_frame_fused_chained
         self._pending: "collections.deque" = collections.deque()
+        # Background D2H puller: on relay-attached rigs np.asarray of the
+        # packed result costs a full ~25 ms link RTT even long after the
+        # device finished (copy_to_host_async does not pre-populate the
+        # host cache there) — measured as the single largest per-frame cost
+        # (28 ms median of a 45 ms frame). A one-thread executor performs
+        # the blocking pull off the dispatch thread; commits consume the
+        # prefetched numpy, and the elastic probe becomes future.done() —
+        # true TRANSFER completion, not just device-compute completion.
+        import concurrent.futures
+
+        self._puller = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="d2h-pull"
+        )
         self._neg_ones: Optional[jnp.ndarray] = None  # shared -1 fill
         self._chain: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
         self._fallback_used = False  # set when _finish_track took the BoW path
@@ -725,30 +738,28 @@ class Tracker:
         # whole make_frame + dispatch span to finish its work, so the
         # blocking D2H pull is a cache read, not a wait
         sel, packed = self._dispatch_track_chained(frame)
-        self._pending.append((frame, sel, packed, t_start))
+        fut = self._puller.submit(np.asarray, packed)
+        self._pending.append((frame, sel, fut, t_start))
         depth = max(int(self.cfg.runtime.pipeline_depth), 1)
         depth_max = max(int(self.cfg.runtime.pipeline_depth_max), depth)
         # elastic commit: beyond the minimum depth, retire a frame only if
-        # its packed result is likely already on the host (is_ready is a
-        # ~20 us non-blocking probe of device-side COMPUTATION completion —
-        # the async D2H copy issued at dispatch usually lands shortly after,
-        # so a ready probe makes the blocking pull cheap, not guaranteed
-        # free). When the link is slow (shared relay in bad weather the
-        # async D2H can land hundreds of ms after issue) the queue
-        # stretches toward depth_max instead of stalling the dispatch
-        # thread on every pull; depth_max bounds commit latency and forces
-        # a blocking commit so the queue cannot grow without bound. The
-        # trade-off while stretched: keyframe insertion and LOST detection
-        # lag up to depth_max frames behind dispatch (the fused cascade
-        # still tracks each frame against the device-resident local map;
-        # only the HOST decisions lag), and the broken-chain fallback in
-        # _commit_pending_one re-tracks in-flight frames if a stretched
-        # commit turns out rejected.
+        # its packed result has LANDED on the host (future.done() — the
+        # background puller thread performed the blocking D2H, so this
+        # probes actual transfer completion). When the link is slow (shared
+        # relay in bad weather) the queue stretches toward depth_max
+        # instead of stalling the dispatch thread on a pull; depth_max
+        # bounds commit latency and forces a blocking commit so the queue
+        # cannot grow without bound. The trade-off while stretched:
+        # keyframe insertion and LOST detection lag up to depth_max frames
+        # behind dispatch (the fused cascade still tracks each frame
+        # against the device-resident local map; only the HOST decisions
+        # lag), and the broken-chain fallback in _commit_pending_one
+        # re-tracks in-flight frames if a stretched commit turns out
+        # rejected.
         while len(self._pending) > depth_max:
             self._commit_pending_one()
         while len(self._pending) > depth:
-            head = self._pending[0][2]
-            if hasattr(head, "is_ready") and not head.is_ready():
+            if not self._pending[0][2].done():
                 break
             self._commit_pending_one()
         # live-pose contract (stream node / AR clients): whether or not a
@@ -764,7 +775,8 @@ class Tracker:
     def _commit_pending_one(self) -> Optional[np.ndarray]:
         if not self._pending:
             return None
-        frame, sel, packed, t_start = self._pending.popleft()
+        frame, sel, fut, t_start = self._pending.popleft()
+        packed = fut.result()  # prefetched numpy; blocks only if in flight
         self._fallback_used = False
         ok = self._finish_track(frame, sel, packed)
         new_kf = self._handle_result(frame, ok)

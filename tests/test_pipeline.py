@@ -64,8 +64,8 @@ def test_live_viewer_snapshots(tmp_path):
 def test_elastic_pipeline_depth_bounds_queue_and_keeps_order():
     """Elastic commits: the pending queue never exceeds pipeline_depth_max,
     frames retire in FIFO order, and a slow-to-arrive result defers commits
-    instead of blocking the dispatch path (simulated by forcing the
-    is_ready probe False below depth_max)."""
+    instead of blocking the dispatch path (simulated by a puller whose
+    futures claim the transfer never lands below depth_max)."""
     frames, poses = render_sequence(40, K, width=320, height=240,
                                     with_depth=True)
     cfg = SlamConfig(
@@ -79,24 +79,25 @@ def test_elastic_pipeline_depth_bounds_queue_and_keeps_order():
     slam = AsyncSlamSystem(cfg)
     tr = slam.tracker
 
-    class _NeverReady:
-        """Wrap the packed device result; claim the copy never lands."""
+    class _NeverLands:
+        """Fake puller future: transfer 'in flight' forever, but a forced
+        (depth_max) commit's blocking result() still works."""
 
-        def __init__(self, inner):
-            self._inner = inner
+        def __init__(self, packed):
+            self._packed = packed
 
-        def is_ready(self):
+        def done(self):
             return False
 
-        def __getattr__(self, name):
-            return getattr(self._inner, name)
+        def result(self):
+            return np.asarray(self._packed)
 
-    orig_dispatch = tr._dispatch_track_chained
+    class _FakePuller:
+        def submit(self, fn, packed):
+            return _NeverLands(packed)
+
+    orig_puller = tr._puller
     depths_seen = []
-
-    def dispatch(frame):
-        sel, packed = orig_dispatch(frame)
-        return sel, _NeverReady(packed)
 
     committed = []
     orig_commit = tr._commit_pending_one
@@ -106,14 +107,14 @@ def test_elastic_pipeline_depth_bounds_queue_and_keeps_order():
             committed.append(tr._pending[0][0].frame_id)
         return orig_commit()
 
-    tr._dispatch_track_chained = dispatch
+    tr._puller = _FakePuller()
     tr._commit_pending_one = commit
     try:
         for i, (img, depth) in enumerate(frames):
             slam.track_rgbd(img, depth, i / 30.0)
             depths_seen.append(len(tr._pending))
     finally:
-        tr._dispatch_track_chained = orig_dispatch
+        tr._puller = orig_puller
         tr._commit_pending_one = orig_commit
     # np.asarray on the real inner array still works, so forced commits at
     # depth_max succeed; the queue must saturate at exactly depth_max
