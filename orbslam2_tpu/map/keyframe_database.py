@@ -32,7 +32,11 @@ class KeyFrameDatabase:
             # (†System ctor loads ORBvoc.txt; random fallback if absent)
             self.vocab, self.idf = bow.default_vocabulary(n_words)
         K = map_state.kf_valid.shape[0]
-        self.bow_mat = np.zeros((K, self.vocab.shape[0]), np.float32)
+        # float16 rows: at 65536 words a f32 database is 256 KB/keyframe;
+        # the L1-normalized TF-IDF entries are ~1e-4..1e-2 where f16's
+        # absolute rounding (~1e-7 at that magnitude) is far below the
+        # 0.01+ score separations the gates run on
+        self.bow_mat = np.zeros((K, self.vocab.shape[0]), np.float16)
         self.in_db = np.zeros(K, bool)
         # device-resident vocabulary: uploading the (W, 256) bit matrix per
         # compute_bow call cost ~0.5 MB of H2D per keyframe on relay rigs
@@ -103,15 +107,21 @@ class KeyFrameDatabase:
             return None
         # Host-side retrieval: the BoW matrix lives in host memory between
         # queries, so a device matvec here would re-upload the whole (K, W)
-        # database per query. One vectorized numpy pass over the LIVE rows
-        # is ~free at any realistic K.
+        # database per query. Scoring touches ONLY the query's nonzero
+        # columns (a frame quantizes to <= n_features of the W words):
+        # L1(a, q) = sum_nz|a - q| + sum_{q=0} a, and rows are
+        # L1-normalized so sum_{q=0} a = 1 - sum_nz a — a (live, nnz)
+        # slice instead of (live, W), ~30-60x less work at W=65536.
         rows = np.where(live)[0]
-        db = self.bow_mat[rows]
+        nz = np.where(query_bow > 0)[0]
+        q = query_bow[nz].astype(np.float32)
+        db = self.bow_mat[np.ix_(rows, nz)].astype(np.float32)
         scores = np.full(live.shape[0], -1.0, np.float32)
         ncommon = np.zeros(live.shape[0], np.int32)
         # L1 similarity 1 - 0.5|a-b|_1 (†ScoringObject.cpp:L1Scoring)
-        scores[rows] = 1.0 - 0.5 * np.abs(db - query_bow[None, :]).sum(-1)
-        ncommon[rows] = ((db > 0) & (query_bow > 0)[None, :]).sum(-1)
+        l1 = np.abs(db - q[None, :]).sum(-1) + 1.0 - db.sum(-1)
+        scores[rows] = 1.0 - 0.5 * l1
+        ncommon[rows] = (db > 0).sum(-1)
         return scores, ncommon, live
 
     def detect_loop_candidates(self, kf: int, min_score: float) -> List[int]:

@@ -27,11 +27,16 @@ import numpy as np
 
 from .orb import unpack_bits
 
-# 16384 words: measured on a 512-KF 4-world rendered database, 4096 words
-# gave same-place/novel L1 score separation of only 0.20/0.21 (useless);
-# 16384 gives 0.28/0.06 with perfect top-1 — the flat MXU assignment matmul
-# at (1000, 256) x (256, 16384) is still sub-ms on TPU.
-VOCAB_SIZE = 16384
+# 65536 words: measured on a 1536-KF database spanning 3 street-like
+# corridors (self-similar segmented facades) + 6 rooms, with 300 revisit
+# queries (tools/bench_place_recognition.py, tools/PLACE_RECOGNITION.md):
+#   4096 words:  top-1 90.0%, 77.2 false candidates/query, novel-world 100%
+#   16384 words: top-1 95.7%,  5.9 false candidates/query, novel-world  10%
+#   65536 words: top-1 98.3%,  0.6 false candidates/query, novel-world   0%
+# The flat MXU assignment matmul at (2000, 256) x (256, 65536) is still
+# sub-ms on TPU; database retrieval stays cheap because scoring uses only
+# the query's nonzero columns (keyframe_database._candidate_scores).
+VOCAB_SIZE = 65536
 
 
 @functools.lru_cache()
@@ -96,6 +101,63 @@ def train_vocabulary(
     return centers.astype(np.uint8)
 
 
+def train_vocabulary_jax(
+    descs: np.ndarray, n_words: int = VOCAB_SIZE, iters: int = 4,
+    seed: int = 7, chunk: int = 4096,
+) -> np.ndarray:
+    """Device-accelerated binary k-means (same semantics as
+    train_vocabulary, which is numpy): the (chunk, 256) x (256, W)
+    assignment matmuls run on the accelerator with the descriptor bits
+    resident across iterations, and the majority-vote centroid update is
+    one scatter-add — a 64k-word vocabulary over ~500k descriptors trains
+    in seconds on a TPU vs tens of minutes in numpy. (The reference ships
+    a pre-trained 145 MB ORBvoc.txt instead; DBoW2's k-means++ trainer is
+    CPU-only and unused at runtime — SURVEY §2.1 row 18.)"""
+    rng = np.random.default_rng(seed)
+    bits_np = np.unpackbits(descs, axis=1, bitorder="little").astype(
+        np.float32
+    )  # LSB-first to match orb.unpack_bits (see train_vocabulary)
+    n = len(bits_np)
+    if n < n_words:
+        vocab = random_vocabulary(n_words, seed).astype(np.float32).copy()
+        vocab[:n] = bits_np
+        return vocab.astype(np.uint8)
+    pad = (-n) % chunk
+    bits_pad = np.pad(bits_np, ((0, pad), (0, 0)))
+    blocks = jnp.asarray(bits_pad).reshape(-1, chunk, 256)
+    valid = jnp.arange(len(bits_pad)) < n
+    centers = jnp.asarray(bits_np[rng.choice(n, n_words, replace=False)])
+
+    @jax.jit
+    def _assign_block(blk, cb):
+        d = (
+            blk.sum(1, keepdims=True) + cb.sum(1)[None, :]
+            - 2.0 * jax.lax.dot_general(
+                blk, cb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,  # exact on {0,1} bits
+            )
+        )
+        return jnp.argmin(d, axis=1).astype(jnp.int32)
+
+    @jax.jit
+    def _update(assign_flat, cb):
+        a = jnp.where(valid, assign_flat, n_words)  # pad rows -> overflow row
+        flat = blocks.reshape(-1, 256)
+        sums = jnp.zeros((n_words + 1, 256), jnp.float32).at[a].add(flat)
+        counts = jnp.zeros((n_words + 1,), jnp.float32).at[a].add(1.0)
+        new = (sums[:n_words] / jnp.maximum(counts[:n_words, None], 1.0)
+               > 0.5).astype(jnp.float32)
+        return jnp.where((counts[:n_words] > 0)[:, None], new, cb)
+
+    for _ in range(iters):
+        assign = jnp.concatenate(
+            [_assign_block(blocks[i], centers) for i in range(len(blocks))]
+        )
+        centers = _update(assign, centers)
+    return np.asarray(centers).astype(np.uint8)
+
+
 def assign_words(
     bits: np.ndarray, centers: np.ndarray, chunk: int = 16384
 ) -> np.ndarray:
@@ -107,9 +169,36 @@ def assign_words(
     return out
 
 
+def assign_words_jax(
+    bits: np.ndarray, centers: np.ndarray, chunk: int = 4096
+) -> np.ndarray:
+    """Device-accelerated assign_words (training/IDF-scale corpora)."""
+    cb = jnp.asarray(np.asarray(centers, np.float32))
+
+    @jax.jit
+    def _blk(b):
+        d = (
+            b.sum(1, keepdims=True) + cb.sum(1)[None, :]
+            - 2.0 * jax.lax.dot_general(
+                b, cb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+        )
+        return jnp.argmin(d, axis=1)
+
+    pad = (-len(bits)) % chunk
+    bp = np.pad(np.asarray(bits, np.float32), ((0, pad), (0, 0)))
+    out = np.concatenate([
+        np.asarray(_blk(jnp.asarray(bp[i: i + chunk])))
+        for i in range(0, len(bp), chunk)
+    ])
+    return out[: len(bits)].astype(np.int64)
+
+
 def compute_idf(
     descs: np.ndarray, valid: np.ndarray, doc_ids: np.ndarray,
-    vocab_bits: np.ndarray,
+    vocab_bits: np.ndarray, use_jax: bool = False,
 ) -> np.ndarray:
     """IDF weights from a training corpus (†TemplatedVocabulary TF-IDF).
 
@@ -121,7 +210,8 @@ def compute_idf(
         np.float32
     )  # LSB-first: see train_vocabulary
     docs = np.asarray(doc_ids)[valid]
-    assign = assign_words(bits, vocab_bits.astype(np.float32))
+    assigner = assign_words_jax if use_jax else assign_words
+    assign = assigner(bits, vocab_bits.astype(np.float32))
     n_docs = max(int(docs.max()) + 1 if len(docs) else 1, 1)
     pair = np.unique(np.stack([assign, docs], axis=1), axis=0)
     df = np.bincount(pair[:, 0], minlength=vocab_bits.shape[0]).astype(
