@@ -124,8 +124,11 @@ def train_vocabulary_jax(
         return vocab.astype(np.uint8)
     pad = (-n) % chunk
     bits_pad = np.pad(bits_np, ((0, pad), (0, 0)))
+    # device-resident across iterations; everything is passed as jit
+    # ARGUMENTS (a closure would embed these MBs as program constants,
+    # which overflows the relay compile service's request limit)
     blocks = jnp.asarray(bits_pad).reshape(-1, chunk, 256)
-    valid = jnp.arange(len(bits_pad)) < n
+    valid = jnp.asarray(np.arange(len(bits_pad)) < n)
     centers = jnp.asarray(bits_np[rng.choice(n, n_words, replace=False)])
 
     @jax.jit
@@ -140,21 +143,21 @@ def train_vocabulary_jax(
         )
         return jnp.argmin(d, axis=1).astype(jnp.int32)
 
-    @jax.jit
-    def _update(assign_flat, cb):
-        a = jnp.where(valid, assign_flat, n_words)  # pad rows -> overflow row
+    @functools.partial(jax.jit, static_argnames=("nw",))
+    def _update(assign_flat, cb, blocks, valid, nw):
+        a = jnp.where(valid, assign_flat, nw)  # pad rows -> overflow row
         flat = blocks.reshape(-1, 256)
-        sums = jnp.zeros((n_words + 1, 256), jnp.float32).at[a].add(flat)
-        counts = jnp.zeros((n_words + 1,), jnp.float32).at[a].add(1.0)
-        new = (sums[:n_words] / jnp.maximum(counts[:n_words, None], 1.0)
+        sums = jnp.zeros((nw + 1, 256), jnp.float32).at[a].add(flat)
+        counts = jnp.zeros((nw + 1,), jnp.float32).at[a].add(1.0)
+        new = (sums[:nw] / jnp.maximum(counts[:nw, None], 1.0)
                > 0.5).astype(jnp.float32)
-        return jnp.where((counts[:n_words] > 0)[:, None], new, cb)
+        return jnp.where((counts[:nw] > 0)[:, None], new, cb)
 
     for _ in range(iters):
         assign = jnp.concatenate(
             [_assign_block(blocks[i], centers) for i in range(len(blocks))]
         )
-        centers = _update(assign, centers)
+        centers = _update(assign, centers, blocks, valid, n_words)
     return np.asarray(centers).astype(np.uint8)
 
 
@@ -176,8 +179,8 @@ def assign_words_jax(
     cb = jnp.asarray(np.asarray(centers, np.float32))
 
     @jax.jit
-    def _blk(b):
-        d = (
+    def _blk(b, cb):  # cb as ARGUMENT: a closure would embed 67 MB of
+        d = (         # centers as a program constant (relay 413 limit)
             b.sum(1, keepdims=True) + cb.sum(1)[None, :]
             - 2.0 * jax.lax.dot_general(
                 b, cb, (((1,), (1,)), ((), ())),
@@ -190,7 +193,7 @@ def assign_words_jax(
     pad = (-len(bits)) % chunk
     bp = np.pad(np.asarray(bits, np.float32), ((0, pad), (0, 0)))
     out = np.concatenate([
-        np.asarray(_blk(jnp.asarray(bp[i: i + chunk])))
+        np.asarray(_blk(jnp.asarray(bp[i: i + chunk]), cb))
         for i in range(0, len(bp), chunk)
     ])
     return out[: len(bits)].astype(np.int64)
