@@ -163,17 +163,19 @@ class RuntimeConfig:
     # pipeline_depth a frame is committed only when its packed result has
     # LANDED on the host (the background puller thread's future is done —
     # actual transfer completion, pulled off the dispatch thread); past
-    # pipeline_depth_max the commit blocks on the in-flight pull. On a
-    # slow shared link (relay weather) the queue
-    # stretches instead of stalling dispatch on every pull; on a
-    # direct-attached chip results are ready by depth 2 and the bound is
-    # never approached. Callers still receive the freshest committed pose
-    # every call (lag <= this many frames, reported via tracker.pose_lag).
-    # Accuracy trade-off while stretched: keyframe insertion and LOST
-    # detection lag commits, so frames track against a local map up to this
-    # many frames stale; under fast motion on a slow link, lowering this
-    # bound trades throughput for robustness.
-    pipeline_depth_max: int = 10
+    # pipeline_depth_max the commit blocks on the in-flight pull. Callers
+    # still receive the freshest committed pose every call (lag <= this
+    # many frames, reported via tracker.pose_lag). Accuracy trade-off while
+    # stretched: keyframe insertion and LOST detection lag commits, so
+    # frames track against a local map up to this many frames stale. The
+    # r4 default of 10 was MEASURED to destroy accuracy on fast-panning
+    # scenes when the host is starved (rendered-circuit ATE 0.03-0.06 at
+    # bound 2 vs 0.3-1.4 at bound 10, and still 0.57 at bound 4); since
+    # the background puller already absorbs pull latency off the dispatch
+    # thread, the default equals pipeline_depth — fixed-depth commits,
+    # no staleness cliff. Raise deliberately on slow links where pose
+    # staleness is acceptable.
+    pipeline_depth_max: int = 2
     # local BA window capacities (gathered compact buffers, SURVEY §7.3.1)
     local_ba_max_kfs: int = 32
     local_ba_max_fixed_kfs: int = 32

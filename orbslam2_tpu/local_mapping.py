@@ -244,13 +244,20 @@ class LocalMapper:
         # points this at "another keyframe is waiting"; local BA checks it
         # between LM chunks and stops early with the partial solution
         self.interrupt = lambda: False
-        # Real backlog (≥2 keyframes waiting): skip fuse + BA entirely for
-        # this keyframe (†LocalMapping::Run gates SearchInNeighbors/BA on
+        # Real backlog (≥2 keyframes waiting): skip fuse + BA for this
+        # keyframe (†LocalMapping::Run gates SearchInNeighbors/BA on
         # !CheckNewKeyFrames()). A single waiting keyframe only aborts BA
         # between chunks — skipping on ANY pending keyframe was measured to
         # spiral: less fusion -> more duplicate points -> fewer inliers ->
-        # more urgent keyframes -> more backlog.
+        # more urgent keyframes -> more backlog. Under PERMANENT backlog
+        # (CPU-starved host) even the >=2 gate skips every keyframe and the
+        # map decays the same way (rendered-circuit async ATE drifted to
+        # 0.3 with zero fuse/BA rounds), so consecutive skips are bounded:
+        # every (max_skip_streak+1)-th keyframe runs fuse + BA regardless.
         self.backlog = lambda: False
+        self.max_skip_streak = 2
+        self._skip_streak = 0
+        self._skip_now = False
         # EMA of the wall-clock cost of one keyframe's mapping phases,
         # maintained by whoever drives process_keyframe (the async worker).
         # The tracker paces its idle-mapper keyframe gate against this, so
@@ -297,19 +304,30 @@ class LocalMapper:
         # !CheckNewKeyFrames(): under backlog the mapper catches up on
         # point creation first and the skipped work is subsumed by the
         # next idle keyframe's neighborhood pass.
+        def _fuse_phase():
+            # one skip decision per keyframe, bounded streak (see __init__)
+            self._skip_now = (self.backlog()
+                              and self._skip_streak < self.max_skip_streak)
+            if self._skip_now:
+                self._skip_streak += 1
+                return
+            self._skip_streak = 0
+            self._fuse_neighbors(kf)
+
+        def _ba_phase():
+            if not self._skip_now:
+                self.local_bundle_adjustment(kf)
+
         phases = [
             lambda: self.bow_precompute(kf),
             _locked(self.map.recycle_free_slots),
             _locked(lambda: self._refresh_tracked_points(kf)),
             _locked(lambda: self._cull_map_points(kf)),
             lambda: self._create_new_points(kf),
-            lambda: (None if self.backlog() else self._fuse_neighbors(kf)),
+            _fuse_phase,
         ]
         if run_ba:
-            phases.append(
-                lambda: (None if self.backlog()
-                         else self.local_bundle_adjustment(kf))
-            )
+            phases.append(_ba_phase)
         phases.append(_locked(_finish))
         return phases
 

@@ -107,6 +107,19 @@ class LoopCloser:
             min_score = 0.0
 
         candidates = self.kfdb.detect_loop_candidates(kf, min_score)
+        # Temporal separation: a loop is a RE-visit — the reference relies
+        # on covisibility exclusion alone, which silently assumes mapping
+        # has already connected temporally-near keyframes. When the async
+        # mapper lags, a keyframe a few seconds old is not yet covisible,
+        # passes the exclusion, and overlapping same-wall views then admit
+        # a coplanar-degenerate Sim3 whose wrong fusion poisons local BA
+        # (measured: circuit ATE 0.04 -> 1.3). Creation-sequence distance
+        # encodes the invariant independently of mapping latency.
+        gap = self.cfg.loop.kfs_between_loops
+        candidates = [
+            c for c in candidates
+            if abs(int(m.kf_seq[kf]) - int(m.kf_seq[c])) >= gap
+        ]
         if not candidates:
             self.consistent_groups = []
             return None
@@ -622,9 +635,6 @@ class LoopCloser:
             return  # superseded while waiting for the map lock
         try:
             snap = self._gba_gather(max_kfs, max_points, obs_cap)
-            if snap is not None:
-                kfs = snap[1]
-                bef_poses = {int(k): m.kf_pose[k].copy() for k in kfs}
         finally:
             m.lock.release()
         if snap is None:
@@ -641,7 +651,7 @@ class LoopCloser:
             return  # superseded while waiting for the map lock
         try:
             self._gba_write_back(
-                kfs, opt_mask, np.asarray(res.poses), bef_poses,
+                kfs, opt_mask, np.asarray(res.poses),
                 mp_ids, np.asarray(res.points)[:n_ids],
             )
             m.version += 1
@@ -816,8 +826,6 @@ class LoopCloser:
             try:
                 snap = self._gba_gather(window, max_points, obs_cap,
                                         kfs=wk, fixed_prefix=fixed_prefix)
-                if snap is not None:
-                    bef = {int(k): m.kf_pose[k].copy() for k in snap[1]}
             finally:
                 m.lock.release()
             if snap is not None:
@@ -834,8 +842,10 @@ class LoopCloser:
                     for w, k in enumerate(kfs_w):
                         if not m.kf_valid[k]:
                             continue
-                        # first appearance keeps the true pre-sweep pose
-                        eff_bef.setdefault(k, bef[k])
+                        # "before" = pose at THIS window's write-back
+                        # (†mTcwBefGBA semantics, see _gba_write_back);
+                        # first appearance wins for the final propagation
+                        eff_bef.setdefault(k, m.kf_pose[k].copy())
                         T = (new_poses[w] if opt_mask[w]
                              else m.kf_pose[k].copy())
                         eff_new[k] = T
@@ -871,11 +881,19 @@ class LoopCloser:
             return fn(self.cam, sharded_ba.shard_problem(mesh, prob))
         return ba.optimize_ba(cam=self.cam, prob=prob, iters=iters)
 
-    def _gba_write_back(self, kfs, opt_mask, new_poses, bef_poses,
-                        mp_ids, new_points):
+    def _gba_write_back(self, kfs, opt_mask, new_poses, mp_ids, new_points):
         """Apply GBA results to the live map, propagating the correction to
         keyframes and points created during the solve (†the mnBAGlobalForKF /
-        mTcwBefGBA spanning-tree walk)."""
+        mTcwBefGBA spanning-tree walk).
+
+        The "before" poses are captured HERE, at write-back time — exactly
+        the reference's mTcwBefGBA = GetPose() right before applying
+        mTcwGBA. Capturing them at gather time corrupted the map: local BA
+        runs WHILE the background GBA solves, so a keyframe created
+        mid-solve relates to its ancestor's CURRENT pose, and propagating
+        it against the ancestor's stale gather-time pose wedged every
+        descendant by the ancestor's local-BA delta (measured: map ATE
+        0.036 -> 0.30 across one background GBA on the circuit test)."""
         m = self.map
         m.correction_epoch += 1  # invalidate in-flight mapper commits
         eff_bef: Dict[int, np.ndarray] = {}
@@ -883,8 +901,8 @@ class LoopCloser:
         for w, k in enumerate(kfs):
             if not m.kf_valid[k]:
                 continue
-            eff_bef[k] = bef_poses[k]
-            eff_new[k] = new_poses[w] if opt_mask[w] else m.kf_pose[k].copy()
+            eff_bef[k] = m.kf_pose[k].copy()  # †mTcwBefGBA (now, not gather)
+            eff_new[k] = new_poses[w] if opt_mask[w] else eff_bef[k]
         # points: optimized ones get their solved positions; the rest move
         # with their reference keyframe's correction (helper)
         live_ids = mp_ids[m.mp_valid[mp_ids]]

@@ -375,7 +375,9 @@ def _apply(poses, points, dc, dl):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("iters", "outlier_rounds", "fix_points")
+    jax.jit,
+    static_argnames=("iters", "outlier_rounds", "fix_points",
+                     "half_assembly"),
 )
 @precision.f32_matmuls
 def optimize_ba(
@@ -384,15 +386,21 @@ def optimize_ba(
     iters: int = 15,
     outlier_rounds: int = 1,
     fix_points: bool = False,
+    half_assembly: bool = False,
 ) -> BAResult:
     """Run the reference's local/global BA schedule (single device).
 
     iters LM iterations with Huber; then chi2 outlier classification and
     `outlier_rounds` x (iters//2) more iterations without outliers/robust
     kernel (matches the 5+10 / drop-outliers schedule of
-    †LocalBundleAdjustment).
+    †LocalBundleAdjustment). half_assembly=True additionally stores the
+    bulk iterations' S-assembly intermediates in bfloat16 (~8-9% faster
+    per iteration) — measured to cost real e2e accuracy on small windows
+    (stereo e2e ATE 0.045 -> 0.10), so it is OFF by default and only a
+    deliberate opt-in for large GBA problems.
     """
-    return optimize_ba_impl(cam, prob, iters, outlier_rounds, fix_points, None)
+    return optimize_ba_impl(cam, prob, iters, outlier_rounds, fix_points,
+                            None, half_assembly)
 
 
 def optimize_ba_impl(
@@ -402,6 +410,7 @@ def optimize_ba_impl(
     outlier_rounds: int = 1,
     fix_points: bool = False,
     axis_name: str | None = None,
+    half_assembly: bool = False,
 ) -> BAResult:
     """Unjitted BA body; `axis_name` enables the sharded (shard_map) path
     where the landmark axis is split across devices and the reduced camera
@@ -416,7 +425,8 @@ def optimize_ba_impl(
                 dc, dl = _build_and_solve(
                     cam, poses, points, prob, obst, valid_t, use_huber, lam,
                     axis_name=axis_name,
-                    half_assembly=(matmul_precision == "default"),
+                    half_assembly=half_assembly
+                    and (matmul_precision == "default"),
                 )
                 if fix_points:
                     dl = jnp.zeros_like(dl)

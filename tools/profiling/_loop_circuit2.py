@@ -47,9 +47,10 @@ def main():
     cfg = SlamConfig(
         sensor="rgbd",
         camera=CameraConfig(fx=260, fy=260, cx=W / 2, cy=H / 2, width=W,
-                            height=H, bf=26.0, fps=10),
+                            height=H, bf=26.0, fps=30),
         extractor=ExtractorConfig(n_features=600, n_levels=4),
     )
+    cfg.runtime.pipeline_depth_max = int(__import__('os').environ.get('DEPTH_MAX', 10))
     slam = AsyncSlamSystem(cfg)
 
     def kf_ate():
@@ -101,6 +102,30 @@ def main():
         return out
     lc.global_bundle_adjustment = gba
 
+    m = slam.map
+
+    def kf_err(k):
+        fid = int(m.kf_frame_id[k])
+        gt = np.linalg.inv(poses[fid])[:3, 3]
+        return float(np.linalg.norm(np.linalg.inv(m.kf_pose[k])[:3, 3] - gt))
+
+    orig_wb = lc._gba_write_back
+    def wb(kfs, opt_mask, new_poses, mp_ids, new_points):
+        snap = [k for k in kfs if m.kf_valid[k]]
+        other = [int(k) for k in m.valid_keyframes() if k not in set(snap)]
+        def stats(ks):
+            if not ks:
+                return "none"
+            e = [kf_err(k) for k in ks]
+            return f"n={len(ks)} mean={np.mean(e):.3f} max={np.max(e):.3f}"
+        print(f"[dbg] WB before: snap[{stats(snap)}] new[{stats(other)}]",
+              flush=True)
+        out = orig_wb(kfs, opt_mask, new_poses, mp_ids, new_points)
+        print(f"[dbg] WB after:  snap[{stats(snap)}] new[{stats(other)}]",
+              flush=True)
+        return out
+    lc._gba_write_back = wb
+
     for i, (img, depth) in enumerate(frames):
         slam.track_rgbd(img, depth, i / 30.0)
         if i % 40 == 0:
@@ -110,6 +135,22 @@ def main():
                   flush=True)
     slam.shutdown()
     print(f"final: loops={lc.loops_closed} ate={kf_ate():.4f}")
+    # per-frame committed trajectory error (raw, unaligned: SLAM world =
+    # room world here because frame 0 is identity in circuit_poses? no —
+    # frame 0 pose is the first camera; compare RELATIVE to gt directly
+    # since both share the first frame's frame)
+    T0_slam = slam.tracker.trajectory[0][2]
+    T0_gt = poses[slam.tracker.trajectory[0][0]]
+    inl = {d["frame"]: d["inliers"] for d in slam.tracker.metrics}
+    for fid, ts, Tcw in slam.tracker.trajectory:
+        if fid % 5:
+            continue
+        est = np.linalg.inv(T0_slam @ np.linalg.inv(Tcw))[:3, 3] * 0
+        # error via relative-to-first-frame centers
+        c_est = np.linalg.inv(Tcw @ np.linalg.inv(T0_slam))[:3, 3]
+        c_gt = np.linalg.inv(poses[fid] @ np.linalg.inv(T0_gt))[:3, 3]
+        print(f"traj f{fid}: err={np.linalg.norm(c_est - c_gt):.3f} "
+              f"inl={inl.get(fid, -1)}")
 
 
 if __name__ == "__main__":

@@ -57,7 +57,7 @@ def main():
 
     # 12 rooms x 14 views (styles drawn per plane inside _make_texture)
     for seed in range(12):
-        planes = make_box_room(seed=seed)
+        planes = make_box_room(seed=seed, styles=None)  # style variety
         traj = orbit_trajectory(28, radius=0.9, advance=0.06,
                                 yaw_rate=0.09 + 0.02 * seed)
         for Tcw in traj[::2]:
