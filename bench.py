@@ -257,7 +257,11 @@ def main():
         sysf = bench_system_fps()
         out["system_fps_per_chip"] = sysf["median"]
         out["system_fps_spread"] = [sysf["min"], sysf["max"]]
-    if mode in ("system_dispatch", "all"):
+    if mode == "system_dispatch":
+        # explicit-only: pre-staging frames on device removes the H2D but
+        # forces the host-side preprocessing to PULL them back per frame —
+        # measured slower than the default path, so it mismeasures "code
+        # cost" and is excluded from mode=all
         d = bench_system_fps(device_staged=True)
         out["system_dispatch_fps_per_chip"] = d["median"]
         out["system_dispatch_fps_spread"] = [d["min"], d["max"]]
