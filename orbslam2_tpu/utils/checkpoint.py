@@ -36,6 +36,8 @@ def save_map(path: str, m: MapState, kfdb=None) -> None:
         arrays["kfdb_bow"] = kfdb.bow_mat
         arrays["kfdb_in_db"] = kfdb.in_db
         arrays["kfdb_vocab"] = kfdb.vocab
+        if kfdb.idf is not None:
+            arrays["kfdb_idf"] = kfdb.idf
     np.savez_compressed(path, **arrays)
 
 
@@ -67,6 +69,13 @@ def load_map(path: str, cfg: SlamConfig, kfdb=None) -> MapState:
     if kfdb is not None and "kfdb_bow" in data:
         kfdb.bow_mat = data["kfdb_bow"].copy()
         kfdb.in_db = data["kfdb_in_db"].copy()
+        # the checkpoint's vocabulary (and its IDF) is authoritative — the
+        # saved BoW rows were quantized with it, and a map saved under a
+        # different/older vocabulary must keep using it after load
         kfdb.vocab = data["kfdb_vocab"].copy()
+        kfdb.idf = (data["kfdb_idf"].copy() if "kfdb_idf" in data else None)
+        kfdb._vocab_dev = None  # device cache rebuilt from the loaded vocab
+        kfdb._idf_dev = None
+        kfdb._pending = {}
         kfdb.map = m
     return m
